@@ -1,0 +1,185 @@
+"""Trie-constrained beam search — the serve/query hot loop, in pure XLA.
+
+Re-architects the reference's decode loop (tasks/generation.py:423-530),
+which per step does: host round-trip to stringify beam prefixes + scipy-CSR
+row lookup (:666-677), Python BeamSearchScorer bookkeeping (:496-503), and
+tuple-of-tuples KV reorder (:511-518). Here the entire M-step decode is ONE
+``lax.scan``:
+
+  decoder step (cached)  ->  trie mask (two gathers)  ->  scores + top_k
+  ->  gather-based beam/cache reorder
+
+with zero host synchronization. Score semantics match the reference: raw
+cumulative inner-product logits, no EOS (sequences always run all M steps;
+reference pins pad/eos to None at generation.py:381-382), optional
+log-softmax (generation.py:453-458), and the returned score equals the sum
+over steps (the reference multiplies HF's length-normalized score back by
+max_new_token at evaluate.py:128 — same quantity).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ripor_tpu.models.config import RiporConfig
+from ripor_tpu.models.ripor import RiporModel
+
+NEG_INF = -1e30
+
+
+@dataclasses.dataclass
+class BeamSearchOutput:
+    """scores/codes/groups sorted best-first along the beam axis.
+
+    groups[b, n] is the smtid-group index (row of trie.unique_codes) the
+    beam landed on, or -1 for dead beams (score == NEG_INF).
+    """
+
+    scores: np.ndarray   # [B, N] float32
+    codes: np.ndarray    # [B, N, M] int32
+    groups: np.ndarray   # [B, N] int32
+
+
+def _trie_allowed(children, unique_codes, state, t):
+    """Allowed-token mask for each beam. state: [B, N] int32.
+
+    internal (>= 0): row gather from the flat children table;
+    singleton chain (<= -2): one-hot of the group's code at step t;
+    dead (== -1): nothing allowed.
+    Returns (allowed [B, N, K] bool, rows [B, N, K] int32 child values).
+    """
+    K = children.shape[1]
+    rows = children[jnp.maximum(state, 0)]                    # [B, N, K]
+    group = jnp.clip(-2 - state, 0, unique_codes.shape[0] - 1)
+    chain_tok = unique_codes[group, t]                        # [B, N]
+    chain_allowed = jax.nn.one_hot(chain_tok, K, dtype=jnp.bool_)
+    is_internal = (state >= 0)[:, :, None]
+    is_chain = (state <= -2)[:, :, None]
+    allowed = jnp.where(is_internal, rows != -1,
+                        jnp.where(is_chain, chain_allowed, False))
+    return allowed, rows
+
+
+def _reorder_cache(cache, src_beam):
+    """Gather every KV cache buffer along the beam axis by src_beam [B, N]."""
+    def gather(x):
+        # x: [B, N, M, H, D]
+        idx = src_beam.reshape(src_beam.shape + (1,) * (x.ndim - 2))
+        return jnp.take_along_axis(x, idx, axis=1)
+    return jax.tree.map(gather, cache)
+
+
+def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
+                        constrained: bool = True,
+                        max_steps: Optional[int] = None,
+                        dtype=jnp.bfloat16):
+    """Build a jitted beam-search function.
+
+    Returns fn(params, input_ids, attention_mask, children, unique_codes)
+    -> (scores [B,N], codes [B,N,M], states [B,N]).
+    For unconstrained search (trainer dev-eval; reference
+    tasks/trainer.py:870-977) pass constrained=False and dummy tables.
+    """
+    model = RiporModel(cfg, dtype=dtype)
+    M = max_steps or cfg.M
+    N = num_beams
+    K = cfg.K
+
+    @jax.jit
+    def run(params, input_ids, attention_mask, children, unique_codes):
+        B = input_ids.shape[0]
+        enc = model.apply({"params": params}, input_ids, attention_mask,
+                          method=RiporModel.encode)
+        cross_kv, self_bias, cache = model.apply(
+            {"params": params}, enc, B, N, method=RiporModel.decode_prepare)
+        enc_bias = jnp.where(attention_mask > 0, 0.0, NEG_INF).astype(jnp.float32)
+
+        beam_scores = jnp.full((B, N), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+        state = jnp.zeros((B, N), jnp.int32)          # all at trie root
+        tokens = jnp.zeros((B, N), jnp.int32)
+        codes = jnp.zeros((B, N, M), jnp.int32)
+
+        def step(carry, t):
+            beam_scores, state, tokens, codes, cache = carry
+            logits, new_cache = model.apply(
+                {"params": params}, tokens, cache, cross_kv, enc_bias,
+                self_bias, t, method=RiporModel.decode_step)   # [B, N, K] f32
+            if constrained:
+                allowed, rows = _trie_allowed(children, unique_codes, state, t)
+                masked = jnp.where(allowed, logits, NEG_INF)
+            else:
+                rows = None
+                masked = logits
+            cand = beam_scores[:, :, None] + masked            # [B, N, K]
+            # keep dead beams dead (NEG_INF + logit could exceed NEG_INF)
+            cand = jnp.where(beam_scores[:, :, None] <= NEG_INF / 2,
+                             NEG_INF, cand)
+            new_scores, idx = jax.lax.top_k(cand.reshape(B, N * K), N)
+            src = idx // K                                     # [B, N]
+            tok = (idx % K).astype(jnp.int32)
+            if constrained:
+                src_state = jnp.take_along_axis(state, src, axis=1)
+                picked_rows = jnp.take_along_axis(
+                    jnp.take_along_axis(rows, src[:, :, None], axis=1),
+                    tok[:, :, None], axis=2)[:, :, 0]
+                new_state = jnp.where(src_state >= 0, picked_rows, src_state)
+                new_state = jnp.where(new_scores <= NEG_INF / 2, -1, new_state)
+            else:
+                new_state = state
+            codes = jnp.take_along_axis(codes, src[:, :, None], axis=1)
+            codes = jnp.where((jnp.arange(M) == t)[None, None, :],
+                              tok[:, :, None], codes)
+            new_cache = _reorder_cache(new_cache, src)
+            return (new_scores, new_state, tok, codes, new_cache), None
+
+        (beam_scores, state, tokens, codes, cache), _ = jax.lax.scan(
+            step, (beam_scores, state, tokens, codes, cache), jnp.arange(M))
+        return beam_scores, codes, state
+
+    return run
+
+
+def beam_search(cfg: RiporConfig, params, input_ids, attention_mask,
+                trie=None, num_beams: int = 10,
+                dtype=jnp.bfloat16) -> BeamSearchOutput:
+    """Convenience wrapper (builds+jits per call; hot paths should cache
+    make_beam_search_fn)."""
+    constrained = trie is not None
+    fn = make_beam_search_fn(cfg, num_beams, constrained=constrained, dtype=dtype)
+    if constrained:
+        children = jnp.asarray(trie.children)
+        unique_codes = jnp.asarray(trie.unique_codes)
+    else:
+        children = jnp.zeros((1, cfg.K), jnp.int32)
+        unique_codes = jnp.zeros((1, cfg.M), jnp.int32)
+    scores, codes, state = fn(params, jnp.asarray(input_ids),
+                              jnp.asarray(attention_mask), children, unique_codes)
+    scores = np.asarray(scores)
+    state = np.asarray(state)
+    groups = np.where(state <= -2, -2 - state, -1).astype(np.int32)
+    return BeamSearchOutput(scores=scores, codes=np.asarray(codes), groups=groups)
+
+
+def expand_groups_to_docids(trie, groups: np.ndarray, scores: np.ndarray,
+                            topk: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Expand beam results (smtid groups) to ranked docids for one query.
+
+    Mirrors the reference's smtid->docids expansion + truncation
+    (evaluate.py:439-449,489-526): every doc in a group inherits the beam
+    score; output truncated to topk. Returns (docids [<=topk], scores)."""
+    out_docs, out_scores = [], []
+    for g, s in zip(groups, scores):
+        if g < 0 or s <= NEG_INF / 2:
+            continue
+        docs = trie.docids_of_group(int(g))
+        out_docs.extend(docs.tolist())
+        out_scores.extend([float(s)] * len(docs))
+        if len(out_docs) >= topk:
+            break
+    return (np.asarray(out_docs[:topk], np.int32),
+            np.asarray(out_scores[:topk], np.float32))

@@ -1,0 +1,130 @@
+"""Constrained beam search: parity with a slow Python oracle + invariants."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ripor_tpu.decode import beam_search, expand_groups_to_docids
+from ripor_tpu.models import RiporModel, ripor_small
+from ripor_tpu.trie import build_trie
+from ripor_tpu.trie.build import dict_trie, dict_trie_allowed
+
+
+def setup(M=4, K=8, n_docs=30, batch=2, seed=0):
+    cfg = ripor_small(M=M, K=K)
+    model = RiporModel(cfg)  # fp32 on CPU for exact parity
+    rng = np.random.default_rng(seed)
+    ids = jnp.array(rng.integers(1, 100, (batch, 10)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    codes0 = jnp.zeros((batch, M), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(seed)}, ids, mask, codes0)["params"]
+    doc_codes = rng.integers(0, K, (n_docs, M))
+    trie = build_trie(doc_codes, K)
+    return cfg, model, params, ids, mask, doc_codes, trie
+
+
+def oracle_beam_search(cfg, model, params, ids, mask, doc_codes, num_beams):
+    """Slow reference: per-step full teacher-forced forward + dict trie."""
+    B = ids.shape[0]
+    root = dict_trie(doc_codes)
+
+    def step_logits(prefixes):
+        # prefixes: list (len B) of list of tuples; compute logits at step t
+        t = len(prefixes[0][0])
+        m = t + 1
+        rows = []
+        for b in range(B):
+            for p in prefixes[b]:
+                rows.append(list(p) + [0] * (cfg.M - t))
+        codes = jnp.asarray(np.asarray(rows, np.int32).reshape(B * len(prefixes[0]), cfg.M))
+        rep_ids = jnp.repeat(ids, len(prefixes[0]), axis=0)
+        rep_mask = jnp.repeat(mask, len(prefixes[0]), axis=0)
+        logits = model.apply({"params": params}, rep_ids, rep_mask, codes[:, :m],
+                             method=RiporModel.forward_logits)
+        return np.asarray(logits)[:, t, :].reshape(B, len(prefixes[0]), -1)
+
+    beams = [[((), 0.0)] for _ in range(B)]
+    for t in range(cfg.M):
+        width = len(beams[0])
+        prefixes = [[p for p, _ in beams[b]] for b in range(B)]
+        logits = step_logits(prefixes)
+        new_beams = []
+        for b in range(B):
+            cands = []
+            for j, (p, s) in enumerate(beams[b]):
+                allowed = dict_trie_allowed(root, list(p))
+                for k in allowed:
+                    cands.append((p + (k,), s + float(logits[b, j, k])))
+            cands.sort(key=lambda x: -x[1])
+            new_beams.append(cands[:num_beams])
+        beams = new_beams
+    return beams
+
+
+def test_beam_search_matches_oracle():
+    cfg, model, params, ids, mask, doc_codes, trie = setup()
+    num_beams = 4
+    out = beam_search(cfg, params, np.asarray(ids), np.asarray(mask),
+                      trie=trie, num_beams=num_beams, dtype=jnp.float32)
+    oracle = oracle_beam_search(cfg, model, params, ids, mask, doc_codes, num_beams)
+    for b in range(ids.shape[0]):
+        got = [(tuple(out.codes[b, n].tolist()), out.scores[b, n])
+               for n in range(num_beams) if out.scores[b, n] > -1e29]
+        want = oracle[b]
+        assert len(got) == len(want)
+        # scores descend and match; sequences match up to ties
+        for (gc, gs), (wc, ws) in zip(got, want):
+            np.testing.assert_allclose(gs, ws, rtol=1e-4, atol=1e-4)
+        got_set = {gc for gc, _ in got}
+        want_set = {wc for wc, _ in want}
+        # allow tie-order differences only among equal scores
+        assert got_set == want_set or np.allclose(
+            sorted(s for _, s in got), sorted(s for _, s in want), rtol=1e-4)
+
+
+def test_beam_outputs_are_valid_smtids():
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=6, K=8, n_docs=50)
+    out = beam_search(cfg, params, np.asarray(ids), np.asarray(mask),
+                      trie=trie, num_beams=8, dtype=jnp.float32)
+    valid = {tuple(r) for r in trie.unique_codes.tolist()}
+    for b in range(out.codes.shape[0]):
+        assert out.scores[b, 0] > -1e29  # best beam always live
+        for n in range(out.codes.shape[1]):
+            if out.scores[b, n] > -1e29:
+                assert tuple(out.codes[b, n].tolist()) in valid
+                g = out.groups[b, n]
+                np.testing.assert_array_equal(trie.unique_codes[g], out.codes[b, n])
+        s = out.scores[b][out.scores[b] > -1e29]
+        assert (np.diff(s) <= 1e-5).all()  # descending
+
+
+def test_beam_score_equals_rerank_score():
+    """Beam cumulative score == teacher-forced sequential dot score
+    (the model is simultaneously generator and scorer)."""
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=4, K=8)
+    out = beam_search(cfg, params, np.asarray(ids), np.asarray(mask),
+                      trie=trie, num_beams=3, dtype=jnp.float32)
+    for b in range(ids.shape[0]):
+        codes = jnp.asarray(out.codes[b, :1])
+        score = model.apply({"params": params}, ids[b:b + 1], mask[b:b + 1],
+                            codes, method=RiporModel.rerank_score)
+        np.testing.assert_allclose(float(score[0]), out.scores[b, 0], rtol=1e-4)
+
+
+def test_expand_groups_to_docids():
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=4, K=4, n_docs=40)
+    out = beam_search(cfg, params, np.asarray(ids), np.asarray(mask),
+                      trie=trie, num_beams=5, dtype=jnp.float32)
+    docs, scores = expand_groups_to_docids(trie, out.groups[0], out.scores[0], topk=10)
+    assert len(docs) == len(scores) <= 10
+    assert (np.diff(scores) <= 1e-5).all()
+    # docids must carry their group's codes
+    for d, s in zip(docs, scores):
+        assert 0 <= d < 40
+
+
+def test_unconstrained_beam_search_runs():
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=4, K=8)
+    out = beam_search(cfg, params, np.asarray(ids), np.asarray(mask),
+                      trie=None, num_beams=4, dtype=jnp.float32)
+    assert out.codes.shape == (2, 4, 4)
+    assert (out.scores > -1e29).all()
