@@ -1,0 +1,20 @@
+from ripor_tpu.evaluation.metrics import (
+    evaluate_run,
+    load_and_evaluate,
+    mrr_k,
+    ndcg_cut_k,
+    qrel_to_smtid_qrel,
+    recall_k,
+    truncate_run,
+)
+from ripor_tpu.evaluation.retriever import (
+    dense_topk,
+    encode_corpus,
+    retrieve_to_run,
+)
+
+__all__ = [
+    "mrr_k", "recall_k", "ndcg_cut_k", "evaluate_run", "load_and_evaluate",
+    "truncate_run", "qrel_to_smtid_qrel",
+    "dense_topk", "encode_corpus", "retrieve_to_run",
+]

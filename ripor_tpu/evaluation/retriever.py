@@ -1,0 +1,120 @@
+"""Dense retrieval: brute-force inner-product top-k, sharded over the mesh.
+
+Replaces faiss IndexFlatIP/IndexIDMap + multi-GPU index cloning (reference
+tasks/evaluator.py:480-492,616-623,784-812): document embeddings shard over
+the 'data' mesh axis, each device computes a local top-k from one einsum,
+and a gathered merge produces the global top-k — all inside one jit.
+Also hosts the corpus-encoding driver (reference DenseIndexing.store_embs,
+tasks/evaluator.py:494-555) with fixed-shape batching.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ripor_tpu.core.mesh import DATA_AXIS
+from ripor_tpu.models.ripor import RiporModel
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_block(queries, docs, k):
+    """queries [Q, d] x docs [N, d] -> (scores [Q, k], idx [Q, k])."""
+    scores = jnp.einsum("qd,nd->qn", queries, docs,
+                        preferred_element_type=jnp.float32)
+    return jax.lax.top_k(scores, k)
+
+
+def dense_topk(queries: np.ndarray, docs: np.ndarray, k: int,
+               mesh: Optional[Mesh] = None,
+               block_docs: int = 1_000_000) -> Tuple[np.ndarray, np.ndarray]:
+    """Brute-force IP top-k. Single-device path streams doc blocks and
+    merges on host; mesh path shards docs over 'data' inside one jit."""
+    queries = jnp.asarray(queries, jnp.float32)
+    n = docs.shape[0]
+    k = min(k, n)
+
+    if mesh is not None and n % mesh.shape[DATA_AXIS] == 0:
+        return _dense_topk_mesh(queries, docs, k, mesh)
+
+    best_s = np.full((queries.shape[0], k), -np.inf, np.float32)
+    best_i = np.zeros((queries.shape[0], k), np.int64)
+    for s in range(0, n, block_docs):
+        blk = jnp.asarray(np.asarray(docs[s:s + block_docs], np.float32))
+        kk = min(k, blk.shape[0])
+        bs, bi = _topk_block(queries, blk, kk)
+        bs, bi = np.asarray(bs), np.asarray(bi) + s
+        all_s = np.concatenate([best_s, bs], axis=1)
+        all_i = np.concatenate([best_i, bi], axis=1)
+        sel = np.argsort(-all_s, axis=1, kind="stable")[:, :k]
+        best_s = np.take_along_axis(all_s, sel, axis=1)
+        best_i = np.take_along_axis(all_i, sel, axis=1)
+    return best_s, best_i
+
+
+def _dense_topk_mesh(queries, docs, k, mesh: Mesh):
+    """docs sharded over 'data'; local einsum+top_k per shard, then global
+    merge — XLA turns the final top_k over gathered candidates into an
+    all-gather over ICI of only [Q, shards*k] candidates, never [Q, N]."""
+    n = docs.shape[0]
+    docs = jax.device_put(
+        jnp.asarray(docs, jnp.float32),
+        NamedSharding(mesh, P(DATA_AXIS, None)))
+    queries = jax.device_put(queries, NamedSharding(mesh, P()))
+    nshards = mesh.shape[DATA_AXIS]
+    shard_size = n // nshards
+
+    @jax.jit
+    def run(q, d):
+        def local(qq, dd):
+            s = jnp.einsum("qd,nd->qn", qq, dd,
+                           preferred_element_type=jnp.float32)
+            ls, li = jax.lax.top_k(s, k)
+            shard = jax.lax.axis_index(DATA_AXIS)
+            return ls, li + shard * shard_size
+
+        from jax import shard_map
+        ls, li = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, None)),
+            out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)))(q, d)
+        # ls/li: [Q, nshards*k] candidates; final merge
+        gs, gsel = jax.lax.top_k(ls, k)
+        gi = jnp.take_along_axis(li, gsel, axis=1)
+        return gs, gi
+
+    gs, gi = run(queries, docs)
+    return np.asarray(gs), np.asarray(gi).astype(np.int64)
+
+
+def encode_corpus(model: RiporModel, params, batches: Iterable[Dict],
+                  dtype=jnp.bfloat16) -> np.ndarray:
+    """Encode a corpus of tokenized batches into dense reps [N, d]
+    (reference DenseIndexing.store_embs, tasks/evaluator.py:494-555; here
+    one jitted dense_rep over fixed-shape batches, no per-rank npy shards)."""
+    @jax.jit
+    def rep(ids, mask):
+        return model.apply({"params": params}, ids, mask,
+                           method=RiporModel.dense_rep)
+
+    out = []
+    for b in batches:
+        r = rep(jnp.asarray(b["input_ids"]), jnp.asarray(b["attention_mask"]))
+        n = b.get("n_valid", r.shape[0])
+        out.append(np.asarray(r, np.float32)[:n])
+    return np.concatenate(out, axis=0)
+
+
+def retrieve_to_run(query_ids: list, docids: list, scores: np.ndarray,
+                    indices: np.ndarray) -> Dict[str, Dict[str, float]]:
+    """Assemble a trec run dict {qid: {docid: score}} (reference
+    DenseRetriever.retrieve writes run.json, tasks/evaluator.py:707-731)."""
+    run = {}
+    for qi, qid in enumerate(query_ids):
+        run[str(qid)] = {str(docids[int(d)]): float(s)
+                         for s, d in zip(scores[qi], indices[qi])}
+    return run

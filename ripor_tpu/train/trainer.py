@@ -1,0 +1,178 @@
+"""Trainer: jitted SPMD train step + optimizer + loop.
+
+Replaces the reference's ~870-line forked HF Trainer (tasks/trainer.py:104-977)
+with a compact functional design: one jitted train step under the mesh
+(gradient psum over ICI happens inside jit via batch sharding — the DDP
+boundary at tasks/trainer.py:252-261 disappears), weighted multi-loss
+accounting (:232-243), gradient accumulation (:621-628), clipping + AdamW +
+linear warmup/decay (HF defaults the reference inherits), and NaN-loss
+filtering (:632-639).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ripor_tpu.models.ripor import RiporModel
+from ripor_tpu.parallel.sharding import params_pspec_tree, shard_batch
+from ripor_tpu.train import losses as loss_lib
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    loss_type: str = "t5seq_aq_encoder_margin_mse"
+    learning_rate: float = 1e-4
+    warmup_steps: int = 0
+    total_steps: int = 100_000
+    weight_decay: float = 0.01
+    grad_clip: float = 1.0
+    grad_accum: int = 1
+    loss_weights: Optional[Dict[str, float]] = None  # default: all 1.0 (arguments.py:109-141)
+    bf16_compute: bool = True
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params))
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.join_schedules(
+        [optax.linear_schedule(0.0, cfg.learning_rate, max(cfg.warmup_steps, 1)),
+         optax.linear_schedule(cfg.learning_rate, 0.0,
+                               max(cfg.total_steps - cfg.warmup_steps, 1))],
+        [cfg.warmup_steps])
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=cfg.weight_decay),
+    )
+
+
+def make_train_step(model: RiporModel, cfg: TrainConfig,
+                    tx: optax.GradientTransformation) -> Callable:
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    Micro-batching for gradient accumulation happens inside the step via
+    lax.scan over a leading accumulation axis when cfg.grad_accum > 1
+    (batch arrays then have shape [accum, micro_bz, ...]).
+    """
+    loss_fn = loss_lib.LOSS_FNS[cfg.loss_type]
+    weights = cfg.loss_weights or {}
+
+    def weighted_total(loss_dict):
+        total = 0.0
+        for name, value in loss_dict.items():
+            total = total + weights.get(name, 1.0) * value
+        return total
+
+    def loss_and_metrics(params, batch, rng):
+        loss_dict = loss_fn(model, params, batch, train=True, rng=rng)
+        total = weighted_total(loss_dict)
+        # NaN/Inf filtering (reference tasks/trainer.py:632-639): zero the
+        # step's contribution rather than poisoning the params
+        safe_total = jnp.where(jnp.isfinite(total), total, 0.0)
+        return safe_total, {**loss_dict, "loss": total}
+
+    grad_fn = jax.value_and_grad(loss_and_metrics, has_aux=True)
+
+    def train_step(state: TrainState, batch, rng):
+        if cfg.grad_accum > 1:
+            def micro(carry, xs):
+                acc_grads, acc_metrics = carry
+                mb, r = xs
+                (_, metrics), grads = grad_fn(state.params, mb, r)
+                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+                acc_metrics = jax.tree.map(jnp.add, acc_metrics, metrics)
+                return (acc_grads, acc_metrics), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            rngs = jax.random.split(rng, cfg.grad_accum)
+            first_mb = jax.tree.map(lambda x: x[0], batch)
+            (_, metrics0), g0 = grad_fn(state.params, first_mb, rngs[0])
+            rest = jax.tree.map(lambda x: x[1:], batch)
+            (grads, metrics), _ = jax.lax.scan(
+                micro, (g0, metrics0), (rest, rngs[1:]))
+            scale = 1.0 / cfg.grad_accum
+            grads = jax.tree.map(lambda g: g * scale, grads)
+            metrics = jax.tree.map(lambda m: m * scale, metrics)
+        else:
+            (_, metrics), grads = grad_fn(state.params, batch, rng)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    return train_step
+
+
+def jit_train_step(train_step: Callable, mesh: Mesh, params_example) -> Callable:
+    """Jit the step with state replicated-or-TP-sharded and batch
+    data-sharded; XLA inserts the gradient all-reduce over ICI."""
+    pspecs = params_pspec_tree(params_example)
+    state_sharding = TrainState(
+        step=NamedSharding(mesh, P()),
+        params=jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs),
+        opt_state=None,  # resolved below by jit from out_shardings=AUTO
+    )
+    # keep it simple & robust: let jit infer opt_state/state shardings from
+    # inputs; we only pin the batch to the data axis
+    del state_sharding
+
+    @jax.jit
+    def step(state, batch, rng):
+        batch = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))),
+            batch)
+        return train_step(state, batch, rng)
+
+    return step
+
+
+class Trainer:
+    """Minimal training loop driver: host feeds batches, device steps.
+
+    Checkpoint/resume lives in train/checkpoint.py; metric logging is a
+    callback (the reference's wandb logging, main.py:160-162, is injectable
+    here)."""
+
+    def __init__(self, model: RiporModel, cfg: TrainConfig, params,
+                 mesh: Optional[Mesh] = None, log_fn=None):
+        self.model = model
+        self.cfg = cfg
+        self.tx = make_optimizer(cfg)
+        self.state = TrainState.create(params, self.tx)
+        self.mesh = mesh
+        step = make_train_step(model, cfg, self.tx)
+        self._step = jit_train_step(step, mesh, params) if mesh is not None \
+            else jax.jit(step)
+        self.log_fn = log_fn or (lambda m, s: None)
+
+    def run(self, batches, rng, log_every: int = 100):
+        """batches: iterable of fixed-shape batch dicts."""
+        metrics = None
+        for batch in batches:
+            rng, sub = jax.random.split(rng)
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            self.state, metrics = self._step(self.state, batch, sub)
+            step = int(self.state.step)
+            if step % log_every == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                self.log_fn(host, step)
+        return self.state, metrics

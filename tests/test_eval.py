@@ -1,0 +1,108 @@
+"""Metric parity tests (hand-computed trec_eval semantics) + dense retrieval."""
+import numpy as np
+import pytest
+
+from ripor_tpu.evaluation import (
+    dense_topk,
+    mrr_k,
+    ndcg_cut_k,
+    qrel_to_smtid_qrel,
+    recall_k,
+    retrieve_to_run,
+    truncate_run,
+)
+
+
+QREL = {
+    "q1": {"d1": 1, "d3": 2},
+    "q2": {"d5": 1},
+    "q3": {"d9": 1},  # not in run -> not evaluated
+}
+RUN = {
+    "q1": {"d1": 0.9, "d2": 0.8, "d3": 0.7},
+    "q2": {"d4": 0.9, "d5": 0.5, "d6": 0.4},
+}
+
+
+def test_mrr():
+    # q1: first rel at rank 1 -> 1.0 ; q2: d5 at rank 2 -> 0.5 ; mean 0.75
+    assert mrr_k(RUN, QREL, 10) == pytest.approx(0.75)
+    # with k=1 truncation q2 loses d5 -> 0.0 ; mean 0.5
+    assert mrr_k(RUN, QREL, 1) == pytest.approx(0.5)
+
+
+def test_recall():
+    # q1 top2: {d1,d2} -> 1/2 rel found; q2 top2: {d4,d5} -> 1/1
+    assert recall_k(RUN, QREL, 2) == pytest.approx((0.5 + 1.0) / 2)
+    assert recall_k(RUN, QREL, 10) == pytest.approx(1.0)
+
+
+def test_ndcg():
+    # q1 ranking d1(1), d2(0), d3(2): dcg = 1/log2(2) + 0 + 2/log2(4) = 2.0
+    # ideal = 2/log2(2) + 1/log2(3) = 2.6309 ; ndcg = 0.7602
+    # q2: dcg = 1/log2(3) = .6309 ; ideal 1.0
+    expect = (2.0 / (2 + 1 / np.log2(3)) + 1 / np.log2(3)) / 2
+    assert ndcg_cut_k(RUN, QREL, 10) == pytest.approx(expect, abs=1e-6)
+
+
+def test_tie_break_docid_descending():
+    # trec_eval: equal scores -> docid string DESCENDING
+    run = {"q": {"a": 1.0, "b": 1.0}}
+    qrel = {"q": {"b": 1}}
+    assert mrr_k(run, qrel, 10) == pytest.approx(1.0)  # b ranks before a
+    qrel2 = {"q": {"a": 1}}
+    assert mrr_k(run, qrel2, 10) == pytest.approx(0.5)
+
+
+def test_truncate_run():
+    t = truncate_run(RUN, 1)
+    assert t["q1"] == {"d1": 0.9}
+
+
+def test_qrel_to_smtid_space():
+    d2s = {"d1": [-1, 3, 4], "d2": [-1, 3, 5]}
+    qrel = {"q": {"d1": 1, "d2": 2}}
+    out = qrel_to_smtid_qrel(d2s, qrel)
+    assert out == {"q": {"3_4": 1, "3_5": 2}}
+    out = qrel_to_smtid_qrel(d2s, qrel, truncate=1)
+    assert out == {"q": {"3": 2}}  # collision keeps max rel
+
+
+def test_dense_topk_exact():
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    d = rng.standard_normal((200, 16)).astype(np.float32)
+    s, i = dense_topk(q, d, k=7)
+    brute = q @ d.T
+    want_i = np.argsort(-brute, axis=1)[:, :7]
+    want_s = np.take_along_axis(brute, want_i, axis=1)
+    np.testing.assert_allclose(s, want_s, rtol=1e-5)
+    np.testing.assert_array_equal(i, want_i)
+
+
+def test_dense_topk_blocked_merge():
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    d = rng.standard_normal((50, 8)).astype(np.float32)
+    s, i = dense_topk(q, d, k=5, block_docs=16)  # forces multi-block merge
+    brute = q @ d.T
+    want_i = np.argsort(-brute, axis=1)[:, :5]
+    np.testing.assert_array_equal(i, want_i)
+
+
+def test_dense_topk_on_mesh(mesh8):
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    d = rng.standard_normal((64, 8)).astype(np.float32)  # 64 % 4 data shards == 0
+    s, i = dense_topk(q, d, k=6, mesh=mesh8)
+    brute = q @ d.T
+    want_i = np.argsort(-brute, axis=1)[:, :6]
+    np.testing.assert_array_equal(np.sort(i, 1), np.sort(want_i, 1))
+    want_s = np.take_along_axis(brute, want_i, axis=1)
+    np.testing.assert_allclose(np.sort(s, 1), np.sort(want_s, 1), rtol=1e-5)
+
+
+def test_retrieve_to_run():
+    run = retrieve_to_run(["q1"], ["a", "b", "c"],
+                          np.array([[0.5, 0.2]]), np.array([[2, 0]]))
+    assert run == {"q1": {"c": 0.5, "a": 0.2}}

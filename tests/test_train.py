@@ -1,0 +1,158 @@
+"""Losses, train step (incl. 8-device CPU mesh + grad accumulation),
+checkpoint roundtrip."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ripor_tpu.models import RiporModel, ripor_small
+from ripor_tpu.train import (
+    TrainConfig,
+    Trainer,
+    TrainState,
+    lng_knp_margin_mse,
+    make_optimizer,
+    make_train_step,
+    margin_mse,
+    pretrain_margin_mse,
+    seq2seq_ce,
+)
+
+
+def setup(M=8, K=16, B=8, L=12, seed=0):
+    cfg = ripor_small(M=M, K=K)
+    model = RiporModel(cfg)
+    rng = np.random.default_rng(seed)
+    ids = jnp.array(rng.integers(1, 100, (B, L)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    codes = jnp.array(rng.integers(0, K, (B, M)), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(seed)}, ids, mask, codes)["params"]
+    return cfg, model, params, ids, mask, codes, rng
+
+
+def marginmse_batch(ids, mask, codes, rng, m=None):
+    m = m or codes.shape[1]
+    B = ids.shape[0]
+    return {
+        "query_ids": ids, "query_mask": mask,
+        "pos_codes": codes[:, :m],
+        "neg_codes": jnp.array(rng.integers(0, 16, (B, m)), jnp.int32),
+        "teacher_pos_score": jnp.array(rng.standard_normal(B), jnp.float32),
+        "teacher_neg_score": jnp.array(rng.standard_normal(B), jnp.float32),
+    }
+
+
+def test_margin_mse_finite():
+    cfg, model, params, ids, mask, codes, rng = setup()
+    out = margin_mse(model, params, marginmse_batch(ids, mask, codes, rng))
+    assert set(out) == {"rank"} and np.isfinite(float(out["rank"]))
+
+
+def test_seq2seq_ce_starts_near_uniform():
+    cfg, model, params, ids, mask, codes, rng = setup()
+    out = seq2seq_ce(model, params,
+                     {"query_ids": ids, "query_mask": mask, "codes": codes})
+    # random init with N(0,1) codebooks: CE should be within a few nats of ln(K)
+    assert abs(float(out["rank"]) - np.log(cfg.K)) < 30.0
+    assert np.isfinite(float(out["rank"]))
+
+
+@pytest.mark.parametrize("m,expected", [
+    (8, {"rank", "rank_4"}),
+    (16, {"rank", "rank_4", "rank_8"}),
+])
+def test_lng_knp_emits_prefix_losses(m, expected):
+    cfg, model, params, ids, mask, codes, rng = setup(M=16)
+    batch = marginmse_batch(ids, mask, codes, rng, m=m)
+    for plen in (4, 8, 16):
+        if plen < m:
+            batch[f"smtid_{plen}_teacher_pos_score"] = batch["teacher_pos_score"]
+            batch[f"smtid_{plen}_teacher_neg_score"] = batch["teacher_neg_score"]
+    out = lng_knp_margin_mse(model, params, batch)
+    assert set(out) == expected
+
+
+def test_pretrain_margin_mse_with_and_without_prefix():
+    cfg, model, params, ids, mask, codes, rng = setup()
+    base = {
+        "query_ids": ids, "query_mask": mask,
+        "pos_doc_ids": ids, "pos_doc_mask": mask,
+        "neg_doc_ids": ids[::-1], "neg_doc_mask": mask,
+        "teacher_pos_score": jnp.ones(8), "teacher_neg_score": jnp.zeros(8),
+    }
+    out = pretrain_margin_mse(model, params, base)
+    assert set(out) == {"rank"}
+    with_prefix = dict(base, pos_prefix_codes=codes[:, :4],
+                       neg_prefix_codes=codes[:, :4])
+    out2 = pretrain_margin_mse(model, params, with_prefix)
+    assert set(out2) == {"rank", "commit"}
+    assert np.isfinite(float(out2["commit"]))
+
+
+def test_train_loss_decreases_seq2seq():
+    """Tiny overfit: seq2seq CE on a fixed batch must fall fast."""
+    cfg, model, params, ids, mask, codes, rng = setup()
+    tcfg = TrainConfig(loss_type="t5seq_aq_encoder_seq2seq",
+                       learning_rate=3e-3, total_steps=60)
+    tx = make_optimizer(tcfg)
+    step = jax.jit(make_train_step(model, tcfg, tx))
+    state = TrainState.create(params, tx)
+    batch = {"query_ids": ids, "query_mask": mask, "codes": codes}
+    key = jax.random.PRNGKey(0)
+    first = None
+    for i in range(40):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert last < first * 0.5, (first, last)
+
+
+def test_grad_accum_matches_full_batch():
+    cfg, model, params, ids, mask, codes, rng = setup(B=8)
+    batch = {"query_ids": ids, "query_mask": mask, "codes": codes}
+    micro = jax.tree.map(lambda x: x.reshape((2, 4) + x.shape[1:]), batch)
+
+    tcfg1 = TrainConfig(loss_type="t5seq_aq_encoder_seq2seq", grad_accum=1,
+                        learning_rate=1e-3)
+    tcfg2 = TrainConfig(loss_type="t5seq_aq_encoder_seq2seq", grad_accum=2,
+                        learning_rate=1e-3)
+    tx1, tx2 = make_optimizer(tcfg1), make_optimizer(tcfg2)
+    s1 = TrainState.create(params, tx1)
+    s2 = TrainState.create(params, tx2)
+    key = jax.random.PRNGKey(1)
+    s1, m1 = jax.jit(make_train_step(model, tcfg1, tx1))(s1, batch, key)
+    s2, m2 = jax.jit(make_train_step(model, tcfg2, tx2))(s2, micro, key)
+    # same data, deterministic model (dropout 0): identical loss & params
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    a = jax.tree.leaves(s1.params)
+    b = jax.tree.leaves(s2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_on_mesh(mesh8):
+    """SPMD train step over the 4x2 (data x model) CPU mesh."""
+    cfg, model, params, ids, mask, codes, rng = setup(B=8)
+    tcfg = TrainConfig(loss_type="t5seq_aq_encoder_margin_mse",
+                       learning_rate=1e-3, total_steps=10)
+    trainer = Trainer(model, tcfg, params, mesh=mesh8)
+    batches = [marginmse_batch(ids, mask, codes, rng) for _ in range(3)]
+    state, metrics = trainer.run(iter(batches), jax.random.PRNGKey(0), log_every=1)
+    assert int(state.step) == 3
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from ripor_tpu.train import load_params, resize_codebooks, save_params
+    cfg, model, params, ids, mask, codes, rng = setup()
+    save_params(tmp_path / "ck", params, cfg)
+    restored = load_params(tmp_path / "ck", like=params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # geometry transform between phases
+    resized = resize_codebooks(dict(params), new_M=12, new_K=32)
+    assert resized["codebooks"].shape == (12, 32, cfg.t5.d_model)
+    np.testing.assert_array_equal(
+        resized["codebooks"][:cfg.M, :cfg.K], np.asarray(params["codebooks"]))
