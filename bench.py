@@ -1,0 +1,96 @@
+"""Headline benchmark: constrained-beam retrieval throughput (queries/sec).
+
+Reference inference config (BASELINE.md): t5-base, constrained beam search,
+beam = topk = 1000, 32 decode steps, batch 1 per GPU, on 4x A100
+(full_scripts/full_evaluate_t5seq_aq_encoder.sh:183-199). The reference
+publishes no throughput number and no CUDA is available here, so the
+baseline is an estimate documented below; raw queries/sec is the primary
+value and is directly comparable across rounds.
+
+Baseline estimate: the reference's loop does 32 decoder steps per query with
+two host synchronizations per step (trie CSR lookup via CPU string keys +
+Python BeamSearchScorer) at beam 1000. Published generative-retrieval
+latencies for this setup are ~1 s/query/GPU; 4x A100 => ~4 queries/sec.
+vs_baseline = measured_qps / 4.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ripor_tpu.decode.beam import make_beam_search_fn
+    from ripor_tpu.models import RiporModel, ripor_base
+    from ripor_tpu.trie import build_trie
+
+    n_docs = int(os.environ.get("BENCH_DOCS", 100_000))
+    num_beams = int(os.environ.get("BENCH_BEAMS", 1000))
+    batch = int(os.environ.get("BENCH_BATCH", 1))
+    seq_len = int(os.environ.get("BENCH_SEQ", 64))
+    iters = int(os.environ.get("BENCH_ITERS", 5))
+
+    cfg = ripor_base(M=32, K=256)
+    model = RiporModel(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+
+    ids = jnp.asarray(rng.integers(1, 32000, (batch, seq_len)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    codes0 = jnp.zeros((batch, cfg.M), jnp.int32)
+    t0 = time.time()
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids, mask, codes0)["params"]
+    print(f"# params init {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # synthetic corpus codes: correlated like real RQ output (shared prefixes)
+    doc_codes = np.concatenate([
+        rng.integers(0, 64, (n_docs, 4)),          # narrow early levels
+        rng.integers(0, 256, (n_docs, cfg.M - 4)),
+    ], axis=1).astype(np.int32)
+    t0 = time.time()
+    trie = build_trie(doc_codes, cfg.K)
+    print(f"# trie build {time.time()-t0:.1f}s, {trie.num_internal} internal, "
+          f"{trie.memory_bytes()/1e6:.0f} MB", file=sys.stderr)
+
+    children = jnp.asarray(trie.children)
+    unique_codes = jnp.asarray(trie.unique_codes)
+    run = make_beam_search_fn(cfg, num_beams, constrained=True, dtype=jnp.bfloat16)
+
+    # warmup / compile. NOTE: block_until_ready does not synchronize through
+    # this image's remote-execution relay — np.asarray (host transfer) is the
+    # only reliable fence, so scores are pulled to host inside the timed loop
+    # (a real retrieval system needs them on host anyway).
+    t0 = time.time()
+    s, c, st = run(params, ids, mask, children, unique_codes)
+    np.asarray(s)
+    print(f"# compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        s, c, st = run(params, ids, mask, children, unique_codes)
+        np.asarray(s), np.asarray(st)
+        times.append(time.time() - t0)
+    per_batch = min(times)
+    qps = batch / per_batch
+    print(f"# steady-state {per_batch*1000:.1f} ms/batch (batch={batch}, "
+          f"beam={num_beams}, {n_docs} docs)", file=sys.stderr)
+
+    baseline_qps = 4.0  # 4x A100 estimate, see module docstring
+    print(json.dumps({
+        "metric": "constrained_beam_queries_per_sec",
+        "value": round(qps, 3),
+        "unit": f"qps@beam{num_beams}_t5base_{n_docs}docs_1chip",
+        "vs_baseline": round(qps / baseline_qps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

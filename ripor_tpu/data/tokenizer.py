@@ -1,0 +1,105 @@
+"""Tokenization — host-side preprocessing feeding fixed-shape token batches.
+
+The reference uses HF's SentencePiece T5 tokenizer (dataset/dataloader.py:10).
+This image has no pretrained tokenizer and zero egress, so the framework
+ships its own: a trainable Unigram tokenizer (the same algorithm family as
+SentencePiece, via the ``tokenizers`` Rust library) trained on the corpus,
+plus a deterministic hash tokenizer for tests. Both emit right-padded
+fixed-length int32 batches (XLA-friendly static shapes).
+
+Text prefixes match the reference ("query: ", "document: ";
+dataset/dataset.py:15-16).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+QUERY_PREFIX = "query: "
+DOC_PREFIX = "document: "
+
+PAD_ID = 0
+EOS_ID = 1
+UNK_ID = 2
+CLS_ID = 3
+SEP_ID = 4
+
+
+class TextTokenizer:
+    """Base interface: encode str -> list[int] (no padding, no EOS)."""
+
+    vocab_size: int
+
+    def encode(self, text: str) -> List[int]:
+        raise NotImplementedError
+
+    def encode_batch(self, texts: Sequence[str], max_length: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (ids [B, L] int32, mask [B, L] int32); appends EOS (T5-style),
+        truncates to max_length, right-pads with PAD_ID."""
+        B = len(texts)
+        ids = np.full((B, max_length), PAD_ID, np.int32)
+        mask = np.zeros((B, max_length), np.int32)
+        for i, t in enumerate(texts):
+            toks = self.encode(t)[:max_length - 1] + [EOS_ID]
+            ids[i, :len(toks)] = toks
+            mask[i, :len(toks)] = 1
+        return ids, mask
+
+
+class UnigramTokenizer(TextTokenizer):
+    """SentencePiece-style Unigram tokenizer (tokenizers Rust backend)."""
+
+    def __init__(self, tok):
+        self._tok = tok
+        self.vocab_size = tok.get_vocab_size()
+
+    @staticmethod
+    def train(corpus: Iterable[str], vocab_size: int = 32000) -> "UnigramTokenizer":
+        from tokenizers import Tokenizer, models, normalizers, pre_tokenizers, trainers
+        tok = Tokenizer(models.Unigram())
+        tok.normalizer = normalizers.NFKC()
+        tok.pre_tokenizer = pre_tokenizers.Metaspace()
+        trainer = trainers.UnigramTrainer(
+            vocab_size=vocab_size,
+            special_tokens=["<pad>", "</s>", "<unk>", "<cls>", "<sep>"],
+            unk_token="<unk>")
+        tok.train_from_iterator(corpus, trainer)
+        return UnigramTokenizer(tok)
+
+    @staticmethod
+    def load(path: str | Path) -> "UnigramTokenizer":
+        from tokenizers import Tokenizer
+        return UnigramTokenizer(Tokenizer.from_file(str(path)))
+
+    def save(self, path: str | Path) -> None:
+        self._tok.save(str(path))
+
+    def encode(self, text: str) -> List[int]:
+        return self._tok.encode(text).ids
+
+
+class HashTokenizer(TextTokenizer):
+    """Deterministic whitespace+hash tokenizer — test/bench stand-in with
+    zero training cost. Ids in [3, vocab_size)."""
+
+    def __init__(self, vocab_size: int = 32128):
+        self.vocab_size = vocab_size
+
+    def encode(self, text: str) -> List[int]:
+        import zlib
+        out = []
+        for w in text.lower().split():
+            h = zlib.crc32(w.encode()) % (self.vocab_size - 3)
+            out.append(3 + h)
+        return out
+
+
+def tokenize_queries(tok: TextTokenizer, texts: Sequence[str], max_length: int):
+    return tok.encode_batch([QUERY_PREFIX + t.strip() for t in texts], max_length)
+
+
+def tokenize_docs(tok: TextTokenizer, texts: Sequence[str], max_length: int):
+    return tok.encode_batch([DOC_PREFIX + t.strip() for t in texts], max_length)

@@ -1,0 +1,142 @@
+"""Data pipeline: tokenizer, readers (reference formats), collators."""
+import json
+
+import numpy as np
+import pytest
+
+from ripor_tpu.data import (
+    Collection,
+    HashTokenizer,
+    MarginMSECollator,
+    PretrainCollator,
+    Seq2SeqCollator,
+    Seq2SeqExamples,
+    TeacherScoreExamples,
+    UnigramTokenizer,
+    batches_from_seq2seq,
+    batches_from_teacher_examples,
+    load_docid_to_smtid,
+    parse_smtid_str,
+    save_docid_to_smtid,
+    smtid_to_str,
+)
+
+
+@pytest.fixture()
+def tiny_data(tmp_path):
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "raw.tsv").write_text(
+        "d0\tthe quick brown fox\nd1\tretrieval systems rock\nd2\tanother passage here\n")
+    queries = tmp_path / "queries"
+    queries.mkdir()
+    (queries / "raw.tsv").write_text("q0\tfox color\nq1\twhat rocks\n")
+    d2s = {"d0": [-1, 1, 2], "d1": [-1, 3, 0], "d2": [-1, 1, 3]}
+    (tmp_path / "docid_to_smtid.json").write_text(json.dumps(d2s))
+    examples = [
+        {"qid": "q0", "docids": ["d0", "d1", "d2"], "scores": [9.0, 3.0, 1.0],
+         "smtid_4_scores": [4.5, 1.5, 0.5]},
+        {"qid": "q1", "docids": ["d1", "d0", "d2"], "scores": [8.0, 2.0, 0.5],
+         "smtid_4_scores": [4.0, 1.0, 0.25]},
+    ]
+    with open(tmp_path / "train.jsonl", "w") as f:
+        for ex in examples:
+            f.write(json.dumps(ex) + "\n")
+    with open(tmp_path / "s2s.jsonl", "w") as f:
+        f.write(json.dumps({"docid": "d0", "query": "fox color"}) + "\n")
+        f.write(json.dumps({"docid": "d1", "query": "what rocks"}) + "\n")
+    return tmp_path
+
+
+def test_collection_and_docid_to_smtid(tiny_data):
+    docs = Collection(tiny_data / "docs")
+    assert len(docs) == 3 and docs["d1"] == "retrieval systems rock"
+    docids, codes = load_docid_to_smtid(tiny_data / "docid_to_smtid.json")
+    assert docids == ["d0", "d1", "d2"]
+    np.testing.assert_array_equal(codes, [[1, 2], [3, 0], [1, 3]])
+    # roundtrip keeps reference format (with -1 sentinel)
+    save_docid_to_smtid(tiny_data / "rt.json", docids, codes)
+    assert json.load(open(tiny_data / "rt.json"))["d0"] == [-1, 1, 2]
+
+
+def test_smtid_strings():
+    assert parse_smtid_str("3_0_7") == [3, 0, 7]
+    assert smtid_to_str([3, 0, 7]) == "3_0_7"
+
+
+def test_hash_tokenizer_batch():
+    tok = HashTokenizer(1000)
+    ids, mask = tok.encode_batch(["hello world", "a much longer sentence right here"], 5)
+    assert ids.shape == (2, 5) and mask.shape == (2, 5)
+    assert ids[0, 2] == 1  # EOS after 2 tokens
+    assert mask[0].sum() == 3 and mask[1].sum() == 5
+    # deterministic
+    ids2, _ = tok.encode_batch(["hello world"], 5)
+    np.testing.assert_array_equal(ids[0], ids2[0])
+
+
+def test_unigram_tokenizer_train_save_load(tmp_path):
+    corpus = ["the quick brown fox jumps", "retrieval with semantic ids",
+              "documents and queries"] * 30
+    tok = UnigramTokenizer.train(corpus, vocab_size=120)
+    ids = tok.encode("quick retrieval")
+    assert len(ids) > 0 and max(ids) < tok.vocab_size
+    tok.save(tmp_path / "tok.json")
+    tok2 = UnigramTokenizer.load(tmp_path / "tok.json")
+    assert tok2.encode("quick retrieval") == ids
+
+
+def test_marginmse_collator_and_iterator(tiny_data):
+    queries = Collection(tiny_data / "queries")
+    docids, codes = load_docid_to_smtid(tiny_data / "docid_to_smtid.json")
+    d2c = {d: c for d, c in zip(docids, codes)}
+    examples = TeacherScoreExamples(tiny_data / "train.jsonl")
+    assert examples.prefix_lengths_present() == (4,)
+    coll = MarginMSECollator(HashTokenizer(500), queries, d2c, max_length=8,
+                             prefix_lengths=(4,))
+    batches = list(batches_from_teacher_examples(examples, coll, batch_size=2,
+                                                 epochs=2))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["query_ids"].shape == (2, 8)
+    assert b["pos_codes"].shape == (2, 2)
+    assert b["teacher_pos_score"].dtype == np.float32
+    assert "smtid_4_teacher_pos_score" in b
+    # positives always index 0 of the example's docids
+    assert set(b["teacher_pos_score"].tolist()) <= {9.0, 8.0}
+
+
+def test_seq2seq_collator(tiny_data):
+    docids, codes = load_docid_to_smtid(tiny_data / "docid_to_smtid.json")
+    d2c = {d: c for d, c in zip(docids, codes)}
+    examples = Seq2SeqExamples(tiny_data / "s2s.jsonl")
+    coll = Seq2SeqCollator(HashTokenizer(500), d2c, max_length=6)
+    batches = list(batches_from_seq2seq(examples, coll, batch_size=2))
+    assert batches[0]["codes"].shape == (2, 2)
+
+
+def test_pretrain_collator(tiny_data):
+    queries = Collection(tiny_data / "queries")
+    docs = Collection(tiny_data / "docs")
+    docids, codes = load_docid_to_smtid(tiny_data / "docid_to_smtid.json")
+    d2c = {d: c for d, c in zip(docids, codes)}
+    coll = PretrainCollator(HashTokenizer(500), queries, docs, max_length=10,
+                            docid_to_codes=d2c, prefix_len=2)
+    samples = [{"qid": "q0", "pos": "d0", "neg": "d1",
+                "pos_score": 1.0, "neg_score": 0.0}]
+    b = coll(samples)
+    assert b["pos_doc_ids"].shape == (1, 10)
+    assert b["pos_prefix_codes"].shape == (1, 2)
+
+
+def test_process_sharding(tiny_data):
+    queries = Collection(tiny_data / "queries")
+    docids, codes = load_docid_to_smtid(tiny_data / "docid_to_smtid.json")
+    d2c = dict(zip(docids, codes))
+    examples = TeacherScoreExamples(tiny_data / "train.jsonl")
+    coll = MarginMSECollator(HashTokenizer(500), queries, d2c, max_length=8)
+    b0 = list(batches_from_teacher_examples(examples, coll, 1, process_index=0,
+                                            process_count=2))
+    b1 = list(batches_from_teacher_examples(examples, coll, 1, process_index=1,
+                                            process_count=2))
+    assert len(b0) == 1 and len(b1) == 1  # disjoint shards of the 2 examples
