@@ -95,12 +95,20 @@ def ndcg_cut_k(run: Run, qrel: Qrel, k: int = 10, agg: bool = True):
 METRIC_FNS = {"mrr": mrr_k, "recall": recall_k, "ndcg_cut": ndcg_cut_k}
 
 
-def evaluate_run(run: Run, qrel: Qrel, metric: str):
+def evaluate_run(run: Run, qrel: Qrel, metric: str, use_native: bool = True):
     """'mrr_10' / 'recall_100' / 'ndcg_cut_10' style metric strings
-    (reference load_and_evaluate, utils/metrics.py:63-79)."""
+    (reference load_and_evaluate, utils/metrics.py:63-79). Routes to the
+    C++ evaluator (native/ripor_native.cc) for large runs when available."""
     name, _, k = metric.rpartition("_")
     if name == "ndcg":
         name = "ndcg_cut"
+    # the C++ path only wins on multi-million-result runs (the dict->array
+    # encoding overhead dominates below that)
+    if use_native and sum(len(v) for v in run.values()) > 1_000_000:
+        from ripor_tpu.native_ext import eval_metrics_native
+        v = eval_metrics_native(run, qrel, name, int(k))
+        if v is not None:
+            return v
     return METRIC_FNS[name](run, qrel, int(k))
 
 

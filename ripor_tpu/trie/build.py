@@ -72,13 +72,17 @@ class DocIdTrie:
                          z["group_doc_offsets"], z["group_docids"], int(z["K"]))
 
 
-def build_trie(codes: np.ndarray, K: int) -> DocIdTrie:
+def build_trie(codes: np.ndarray, K: int,
+               use_native: bool | None = None) -> DocIdTrie:
     """Build the flat trie from per-document codes [N, M] (ints in [0, K)).
 
     Vectorized host-side construction over lexicographically sorted unique
     codes: trie nodes at level i are runs of equal length-i prefixes; a run
     of >= 2 distinct smtids becomes an internal node, a run of exactly 1
     becomes a singleton-chain pointer.
+
+    ``use_native`` routes to the C++ builder (native/ripor_native.cc); the
+    default uses it for corpora above 200k docs when the library builds.
     """
     codes = np.asarray(codes)
     if codes.ndim != 2:
@@ -86,6 +90,17 @@ def build_trie(codes: np.ndarray, K: int) -> DocIdTrie:
     n, M = codes.shape
     if codes.min() < 0 or codes.max() >= K:
         raise ValueError(f"codes out of range [0, {K})")
+
+    if use_native is None:
+        use_native = n > 200_000
+    if use_native:
+        from ripor_tpu.native_ext import trie_build_native
+        result = trie_build_native(codes, K)
+        if result is not None:
+            children, unique_codes, group_doc_offsets, group_docids = result
+            return DocIdTrie(children=children, unique_codes=unique_codes,
+                             group_doc_offsets=group_doc_offsets,
+                             group_docids=group_docids, K=K)
 
     # sort docs by code, group identical codes
     order = np.lexsort(codes.T[::-1])           # lexicographic over columns 0..M-1
