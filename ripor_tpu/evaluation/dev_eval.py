@@ -1,0 +1,69 @@
+"""In-training dev evaluation — unconstrained beam search over smtids.
+
+Mirrors the reference trainer's ``evaluate()`` (tasks/trainer.py:870-977):
+generate smtids for dev queries WITHOUT the trie constraint, score a hit
+when a generated smtid equals the relevant document's smtid, and report
+MRR@10 / recall@10 (metrics at :963-965). Also ``first_smtid`` — argmax of
+the position-0 logits (reference DenseRetriever.get_first_smtid,
+tasks/evaluator.py:733-751).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ripor_tpu.decode.beam import make_beam_search_fn
+from ripor_tpu.models.config import RiporConfig
+from ripor_tpu.models.ripor import RiporModel
+
+
+def dev_eval(cfg: RiporConfig, params, query_batches,
+             target_codes: np.ndarray, num_beams: int = 10,
+             dtype=jnp.float32) -> Dict[str, float]:
+    """query_batches: iterable of (ids, mask) fixed-shape batches covering
+    the dev queries in order; target_codes: [n_queries, M] relevant smtid
+    per query. Returns {"dev_mrr_10", "dev_recall_10"}."""
+    fn = make_beam_search_fn(cfg, num_beams, constrained=False, dtype=dtype)
+    dummy_children = jnp.zeros((1, cfg.K), jnp.int32)
+    dummy_codes = jnp.zeros((1, cfg.M), jnp.int32)
+
+    rr, hits, n = [], 0, 0
+    for ids, mask in query_batches:
+        scores, codes, _ = fn(params, jnp.asarray(ids), jnp.asarray(mask),
+                              dummy_children, dummy_codes)
+        codes = np.asarray(codes)
+        bz = codes.shape[0]
+        for b in range(bz):
+            if n >= len(target_codes):
+                break
+            target = tuple(target_codes[n])
+            rank = 0
+            for j in range(min(num_beams, 10)):
+                if tuple(codes[b, j].tolist()) == target:
+                    rank = j + 1
+                    break
+            rr.append(1.0 / rank if rank else 0.0)
+            hits += rank > 0
+            n += 1
+    return {"dev_mrr_10": float(np.mean(rr)) if rr else 0.0,
+            "dev_recall_10": hits / max(1, n)}
+
+
+def first_smtid(cfg: RiporConfig, params, input_ids, attention_mask,
+                dtype=jnp.float32) -> np.ndarray:
+    """Most likely first code per query (position-0 logits argmax)."""
+    model = RiporModel(cfg, dtype=dtype)
+
+    @jax.jit
+    def run(params, ids, mask):
+        hidden = model.apply({"params": params}, ids, mask,
+                             jnp.zeros((ids.shape[0], 1), jnp.int32))
+        logits = model.apply({"params": params}, hidden,
+                             method=RiporModel.lm_logits)
+        return jnp.argmax(logits[:, 0], axis=-1)
+
+    return np.asarray(run(params, jnp.asarray(input_ids),
+                          jnp.asarray(attention_mask)), np.int32)
