@@ -84,6 +84,58 @@ def cmd_train(args):
     run_train_from_config(cfg)
 
 
+def cmd_datagen(args):
+    """Phase-3 flywheel: D^B beam prefix candidates + D^R grouping +
+    decay merge + lng_knp score attachment (replaces the reference's
+    t5seq_aq_get_qid_to_smtid_rankdata + aq_preprocess merge scripts)."""
+    import jax.numpy as jnp
+    from ripor_tpu.data import Collection, UnigramTokenizer, load_docid_to_smtid
+    from ripor_tpu.pipeline.datagen import (
+        attach_lng_knp_scores, group_docids_by_prefix,
+        merge_rankdata_with_decay, prefix_smtid_strings)
+    from ripor_tpu.pipeline.flywheel import (
+        beam_prefix_candidates, read_jsonl, write_jsonl)
+    from ripor_tpu.pipeline.recipe import Workspace
+
+    ws, cfg, model, params = _load_workspace_model(args.workspace, args.phase)
+    tok = UnigramTokenizer.load(ws.path("tokenizer.json"))
+    docids, codes = load_docid_to_smtid(ws.path("docid_to_smtid.json"))
+    queries = Collection(args.queries)
+    teacher_examples = read_jsonl(args.teacher_trainset)
+    qid_to_docids = {str(ex["qid"]): [str(d) for d in ex["docids"]]
+                     for ex in teacher_examples}
+    qid_to_scores = {str(ex["qid"]): dict(zip(map(str, ex["docids"]),
+                                              ex["scores"]))
+                     for ex in teacher_examples}
+
+    for plen in args.prefix_lengths:
+        p_str = prefix_smtid_strings(codes, docids, plen)
+        d_r = group_docids_by_prefix(qid_to_docids, p_str)
+        qids = [q for q in qid_to_docids if q in {str(i) for i in queries.ids}
+                or True]
+        d_b = beam_prefix_candidates(
+            cfg, params, tok, list(qid_to_docids),
+            [queries[q] for q in qid_to_docids], codes, docids,
+            prefix_len=plen, num_beams=args.beam, batch_size=args.batch_size)
+        # teacher scores: reuse the trainset's per-doc scores (a cross-encoder
+        # rescoring pass can refine these; evaluation/reranker.py)
+        def to_rankdata(groups):
+            out = {}
+            for qid, bucket in groups.items():
+                scores = qid_to_scores.get(qid, {})
+                out[qid] = {smtid: [[d, scores.get(d, 0.0)] for d in docs]
+                            for smtid, docs in bucket.items()}
+            return out
+        merged = merge_rankdata_with_decay(
+            to_rankdata(d_r), to_rankdata(d_b), max_new_token=plen,
+            decay=args.decay)
+        if plen > 4:
+            merged = attach_lng_knp_scores(merged, plen)
+        out_path = ws.path(f"lng_knp_qid_smtids_scores_{plen}.train.json")
+        write_jsonl(out_path, merged)
+        print(f"wrote {out_path} ({len(merged)} examples)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="ripor_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -115,6 +167,19 @@ def main(argv=None):
     pt = sub.add_parser("train", help="train one phase from a JSON config")
     pt.add_argument("--config", required=True)
     pt.set_defaults(fn=cmd_train)
+
+    pd = sub.add_parser("datagen", help="phase-3 flywheel data generation")
+    pd.add_argument("--workspace", required=True)
+    pd.add_argument("--queries", required=True)
+    pd.add_argument("--teacher-trainset", required=True,
+                    help="JSONL {'qid','docids','scores'} from the teacher")
+    pd.add_argument("--phase", default="final")
+    pd.add_argument("--prefix-lengths", type=int, nargs="+",
+                    default=[4, 8, 16, 32])
+    pd.add_argument("--beam", type=int, default=100)
+    pd.add_argument("--batch-size", type=int, default=4)
+    pd.add_argument("--decay", type=int, default=2)
+    pd.set_defaults(fn=cmd_datagen)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -66,33 +66,41 @@ def _trie_allowed(children, unique_codes, state, t):
 
 
 def _reorder_cache(cache, src_beam, use_pallas: bool = True):
-    """Gather every KV cache buffer along the beam axis by src_beam [B, N].
+    """Gather the stacked KV cache [L, 2, B, N, Mc, H, D] along the beam
+    axis by src_beam [B, N].
 
-    On TPU this is the decode loop's bandwidth hot spot (~GBs/step at beam
-    1000); the pallas row-DMA kernel (ops/beam_gather.py) runs ~2x faster
-    than XLA's elementwise gather. CPU tests use the XLA path."""
+    This is the decode loop's bandwidth hot spot (~GBs/step at beam 1000).
+    The pallas row-DMA kernel (ops/beam_gather.py) runs it at HBM copy speed
+    on a zero-copy reshape view of the single cache buffer; XLA's
+    elementwise gather (CPU tests / fallback) is ~2x slower on TPU."""
+    L, two, B, N, Mc, H, D = cache.shape
     if use_pallas:
-        from ripor_tpu.ops.beam_gather import reorder_cache_pallas
-        return reorder_cache_pallas(cache, src_beam)
-
-    def gather(x):
-        # x: [B, N, M, H, D]
-        idx = src_beam.reshape(src_beam.shape + (1,) * (x.ndim - 2))
-        return jnp.take_along_axis(x, idx, axis=1)
-    return jax.tree.map(gather, cache)
+        from ripor_tpu.ops.beam_gather import beam_gather_rows
+        flat = cache.reshape(L * two * B, N, Mc * H * D)
+        src_rep = jnp.tile(src_beam.reshape(B, N), (L * two, 1))
+        return beam_gather_rows(flat, src_rep).reshape(cache.shape)
+    idx = src_beam[None, None, :, :, None, None, None]
+    return jnp.take_along_axis(cache, idx, axis=3)
 
 
 def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                         constrained: bool = True,
                         max_steps: Optional[int] = None,
                         dtype=jnp.bfloat16,
-                        use_pallas_gather: Optional[bool] = None):
+                        use_pallas_gather: Optional[bool] = None,
+                        cache_segments: int = 4):
     """Build a jitted beam-search function.
 
     Returns fn(params, input_ids, attention_mask, children, unique_codes)
     -> (scores [B,N], codes [B,N,M], states [B,N]).
     For unconstrained search (trainer dev-eval; reference
     tasks/trainer.py:870-977) pass constrained=False and dummy tables.
+
+    ``cache_segments``: the KV cache only needs t+1 slots at step t, and the
+    per-step beam reorder is bandwidth-bound on cache bytes — so the decode
+    runs as ``cache_segments`` scans with a growing cache buffer
+    (sizes M/S, 2M/S, ..., M), cutting reorder+attention traffic ~40%
+    at S=4. Set 1 to disable.
     """
     model = RiporModel(cfg, dtype=dtype)
     M = max_steps or cfg.M
@@ -100,20 +108,28 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     K = cfg.K
     if use_pallas_gather is None:
         use_pallas_gather = jax.default_backend() == "tpu"
+    seg = max(1, min(cache_segments, M))
+    # segment boundaries: equal step spans, cache sized to the span end
+    bounds = [round(M * (s + 1) / seg) for s in range(seg)]
 
     @jax.jit
     def run(params, input_ids, attention_mask, children, unique_codes):
         B = input_ids.shape[0]
         enc = model.apply({"params": params}, input_ids, attention_mask,
                           method=RiporModel.encode)
-        cross_kv, self_bias, cache = model.apply(
-            {"params": params}, enc, B, N, method=RiporModel.decode_prepare)
+        cross_kv = model.apply({"params": params}, enc,
+                               method=lambda m, e: m.decoder.precompute_cross_kv(e))
+        self_bias = model.apply(
+            {"params": params}, M,
+            method=lambda m, n: m.decoder.full_self_bias(n))
         enc_bias = jnp.where(attention_mask > 0, 0.0, NEG_INF).astype(jnp.float32)
 
         beam_scores = jnp.full((B, N), NEG_INF, jnp.float32).at[:, 0].set(0.0)
         state = jnp.zeros((B, N), jnp.int32)          # all at trie root
         tokens = jnp.zeros((B, N), jnp.int32)
         codes = jnp.zeros((B, N, M), jnp.int32)
+        cache = model.apply({"params": params}, B, N, bounds[0],
+                            method=lambda m, b, n, l: m.decoder.init_cache(b, n, l))
 
         def step(carry, t):
             beam_scores, state, tokens, codes, cache = carry
@@ -148,8 +164,15 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             new_cache = _reorder_cache(new_cache, src, use_pallas_gather)
             return (new_scores, new_state, tok, codes, new_cache), None
 
-        (beam_scores, state, tokens, codes, cache), _ = jax.lax.scan(
-            step, (beam_scores, state, tokens, codes, cache), jnp.arange(M))
+        lo = 0
+        for s, hi in enumerate(bounds):
+            carry = (beam_scores, state, tokens, codes, cache)
+            carry, _ = jax.lax.scan(step, carry, jnp.arange(lo, hi))
+            beam_scores, state, tokens, codes, cache = carry
+            if s + 1 < seg:  # grow the cache buffer for the next segment
+                grow = bounds[s + 1] - hi
+                cache = jnp.pad(cache, [(0, 0)] * 4 + [(0, grow), (0, 0), (0, 0)])
+            lo = hi
         return beam_scores, codes, state
 
     return run

@@ -109,6 +109,17 @@ def encode_corpus(model: RiporModel, params, batches: Iterable[Dict],
     return np.concatenate(out, axis=0)
 
 
+def aq_flat_search(query_embs: np.ndarray, codebooks, codes: np.ndarray,
+                   k: int, mesh: Optional[Mesh] = None):
+    """Sanity-check retrieval over AQ *reconstructions*: doc rep = sum of
+    codebook embeddings (reference aq_to_flat_index_search_evaluate,
+    evaluate.py:334-394 / T5AQEncoder summed decode :899-900). Verifies the
+    quantized DocIDs retrieve ~ as well as the RQ index itself."""
+    from ripor_tpu.quantize.rq import rq_decode
+    recon = rq_decode(codebooks, codes)
+    return dense_topk(query_embs, recon, k, mesh=mesh)
+
+
 def retrieve_to_run(query_ids: list, docids: list, scores: np.ndarray,
                     indices: np.ndarray) -> Dict[str, Dict[str, float]]:
     """Assemble a trec run dict {qid: {docid: score}} (reference

@@ -99,6 +99,23 @@ class RiporModel(nn.Module):
             (b, 1, books.shape[-1]))
         return jnp.concatenate([start, prev], axis=1)
 
+    def decoder_inputs_from_multi_codes(self, codes: jnp.ndarray) -> jnp.ndarray:
+        """Multi-id variant: codes [B, m, G] -> mean of the G candidate
+        embeddings per position (reference get_decoder_mul_inputs_embeds
+        :216-248, used when a step carries several candidate smtids).
+        Returns [B, m, d] shift-right inputs."""
+        b, m, g = codes.shape
+        books = self._in_books()
+        if m > 1:
+            pos = jnp.arange(m - 1)[None, :, None]
+            prev = books[pos, codes[:, :m - 1, :]].mean(axis=2)  # [B, m-1, d]
+        else:
+            prev = jnp.zeros((b, 0, books.shape[-1]), self.dtype)
+        start = jnp.broadcast_to(
+            jnp.asarray(self.start_embed, self.dtype)[None, None, :],
+            (b, 1, books.shape[-1]))
+        return jnp.concatenate([start, prev], axis=1)
+
     def doc_embeds(self, codes: jnp.ndarray) -> jnp.ndarray:
         """Per-position codebook embeddings of a document's codes [B, m] ->
         [B, m, d] (reference T5SeqAQEncoder.decode :811-830)."""

@@ -32,8 +32,10 @@ from ripor_tpu.models.layers import (
     padding_bias,
 )
 
-# Cache pytree: per decoder layer {"k": [B, N, M, H, D], "v": same}; plus "t" index
-Cache = Tuple[Dict[str, jnp.ndarray], ...]
+# Decode cache: ONE stacked array [L, 2, B, N, M, H, D] (k=index 0, v=1).
+# A single buffer keeps the beam reorder a single kernel call on a reshape
+# view (no per-layer stack/unstack copies) and lets scan donate it in place.
+Cache = jnp.ndarray
 CrossKV = Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]
 
 
@@ -136,22 +138,26 @@ class DecoderLayer(nn.Module):
         """Precompute cross-attention K/V from encoder output (once per query)."""
         return self.cross_attn.project_kv(enc)
 
-    def step(self, x, layer_cache, enc_k, enc_v, enc_bias, self_bias_row, t):
-        """One decode position. x: [B, N, d]. Returns (x', updated layer_cache)."""
-        b, n, _ = x.shape
+    def step_qkv(self, x):
+        """Self-attention projections for one decode position. x: [B, N, d]
+        -> (q, k, v) each [B, N, H, D]. The stack writes k/v into the shared
+        cache buffer (in place under scan) before calling step_finish."""
         h = self.self_attn_norm(x)
-        q = self.self_attn.project_q(h)          # [B, N, H, D] (beam axis as "length")
-        k, v = self.self_attn.project_kv(h)      # [B, N, H, D]
-        cache_k = jax.lax.dynamic_update_index_in_dim(layer_cache["k"], k, t, axis=2)
-        cache_v = jax.lax.dynamic_update_index_in_dim(layer_cache["v"], v, t, axis=2)
+        q = self.self_attn.project_q(h)
+        k, v = self.self_attn.project_kv(h)
+        return q, k, v
+
+    def step_finish(self, x, q, cache_k, cache_v, enc_k, enc_v, enc_bias,
+                    self_bias_row):
+        """Attention over the (already updated) cache slices + cross + FFN."""
         attn = _step_self_attention(q, cache_k, cache_v, self_bias_row, self.dtype)
         x = x + self._proj_out(attn)
         h = self.cross_attn_norm(x)
-        q = self.cross_attn.project_q(h)
-        attn = _step_cross_attention(q, enc_k, enc_v, enc_bias, self.dtype)
+        cq = self.cross_attn.project_q(h)
+        attn = _step_cross_attention(cq, enc_k, enc_v, enc_bias, self.dtype)
         x = x + self._proj_out_cross(attn)
         x = x + self.ffn(self.ffn_norm(x), deterministic=True)
-        return x, {"k": cache_k, "v": cache_v}
+        return x
 
     def _proj_out(self, attn):
         b, n = attn.shape[:2]
@@ -202,19 +208,26 @@ class Decoder(nn.Module):
 
     def init_cache(self, batch: int, num_beams: int, max_len: int) -> Cache:
         cfg = self.cfg
-        shape = (batch, num_beams, max_len, cfg.num_heads, cfg.d_kv)
-        return tuple({"k": jnp.zeros(shape, self.dtype), "v": jnp.zeros(shape, self.dtype)}
-                     for _ in range(cfg.num_decoder_layers))
+        return jnp.zeros((cfg.num_decoder_layers, 2, batch, num_beams,
+                          max_len, cfg.num_heads, cfg.d_kv), self.dtype)
 
     def decode_step(self, x, cache: Cache, cross_kv: CrossKV, enc_bias,
                     self_bias_full, t):
-        """x: [B, N, d] input embeds at position t. Returns (hidden, new_cache)."""
-        bias_row = jax.lax.dynamic_index_in_dim(self_bias_full, t, axis=1, keepdims=False)
+        """x: [B, N, d] input embeds at position t. cache: [L, 2, B, N, Mc,
+        H, D] where Mc is the live slot budget (may be < full M under
+        segmented decoding). Returns (hidden, new_cache)."""
+        cache_len = cache.shape[4]
+        bias_row = jax.lax.dynamic_index_in_dim(self_bias_full, t, axis=1,
+                                                keepdims=False)[:, :cache_len]
         # mask future key positions (cache slots > t are zeros/garbage)
-        key_pos = jnp.arange(self_bias_full.shape[-1])
+        key_pos = jnp.arange(cache_len)
         bias_row = bias_row + jnp.where(key_pos <= t, 0.0, NEG_INF)[None, :]
-        new_cache: List[Dict[str, jnp.ndarray]] = []
-        for layer, layer_cache, (enc_k, enc_v) in zip(self.layers, cache, cross_kv):
-            x, updated = layer.step(x, layer_cache, enc_k, enc_v, enc_bias, bias_row, t)
-            new_cache.append(updated)
-        return self.final_norm(x), tuple(new_cache)
+        for l, (layer, (enc_k, enc_v)) in enumerate(zip(self.layers, cross_kv)):
+            q, k, v = layer.step_qkv(x)
+            cache = jax.lax.dynamic_update_slice(
+                cache, k[None, None, :, :, None], (l, 0, 0, 0, t, 0, 0))
+            cache = jax.lax.dynamic_update_slice(
+                cache, v[None, None, :, :, None], (l, 1, 0, 0, t, 0, 0))
+            x = layer.step_finish(x, q, cache[l, 0], cache[l, 1],
+                                  enc_k, enc_v, enc_bias, bias_row)
+        return self.final_norm(x), cache

@@ -175,9 +175,31 @@ def pretrain_margin_mse(model: RiporModel, params, batch: Dict,
     return out
 
 
+def ranknet(model: RiporModel, params, batch: Dict, train: bool = True,
+            rng=None) -> Dict[str, jnp.ndarray]:
+    """RankNet pairwise loss on sequential dot scores (reference
+    t5seq_aq_encoder_ranknet loss_type; losses/pairwise.py:3-45)."""
+    rngs = {"dropout": rng} if (train and rng is not None) else {}
+    det = not train
+
+    def fwd(codes):
+        return model.apply({"params": params}, batch["query_ids"],
+                           batch["query_mask"], codes,
+                           deterministic=det, rngs=rngs)
+
+    pos = _seq_dot(fwd(batch["pos_codes"]),
+                   model.apply({"params": params}, batch["pos_codes"],
+                               method=RiporModel.doc_embeds))
+    neg = _seq_dot(fwd(batch["neg_codes"]),
+                   model.apply({"params": params}, batch["neg_codes"],
+                               method=RiporModel.doc_embeds))
+    return {"rank": jnp.mean(jnp.log1p(jnp.exp(-(pos - neg))))}
+
+
 LOSS_FNS = {
     "t5seq_aq_encoder_margin_mse": margin_mse,
     "t5seq_aq_encoder_seq2seq": seq2seq_ce,
     "t5seq_aq_encoder_lng_knp_margin_mse": lng_knp_margin_mse,
     "t5seq_pretrain_margin_mse": pretrain_margin_mse,
+    "t5seq_aq_encoder_ranknet": ranknet,
 }
