@@ -178,6 +178,39 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     return run
 
 
+def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
+                                constrained: bool = True,
+                                max_steps: Optional[int] = None,
+                                dtype=jnp.bfloat16,
+                                use_pallas_gather: Optional[bool] = None,
+                                cache_segments: int = 4):
+    """Data-parallel constrained beam search: queries shard over the mesh's
+    'data' axis, params + trie tables replicate, each device runs the full
+    decode on its query shard (replaces the reference's one-query-per-GPU
+    DDP inference, evaluate.py:457-487). Batch must divide by the data-axis
+    size."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ripor_tpu.core.mesh import DATA_AXIS
+
+    inner = make_beam_search_fn(cfg, num_beams, constrained=constrained,
+                                max_steps=max_steps, dtype=dtype,
+                                use_pallas_gather=use_pallas_gather,
+                                cache_segments=cache_segments)
+
+    @jax.jit
+    def run(params, input_ids, attention_mask, children, unique_codes):
+        return shard_map(
+            lambda p, i, m, c, u: inner(p, i, m, c, u),
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False,
+        )(params, input_ids, attention_mask, children, unique_codes)
+
+    return run
+
+
 def beam_search(cfg: RiporConfig, params, input_ids, attention_mask,
                 trie=None, num_beams: int = 10,
                 dtype=jnp.bfloat16) -> BeamSearchOutput:

@@ -107,6 +107,15 @@ def attach_lng_knp_scores(examples: Iterable[Dict], max_new_token: int
     return out
 
 
+def rankdata_to_docid_groups(rankdata: RankData
+                             ) -> Dict[str, Dict[str, List[str]]]:
+    """{qid: {smtid: [(docid, score)]}} -> {qid: {smtid: [docids]}}
+    (reference argparse_from_qid_smtid_rank_to_qid_smtid_docids.py)."""
+    return {qid: {smtid: [str(p[0]) for p in pairs]
+                  for smtid, pairs in rd.items()}
+            for qid, rd in rankdata.items()}
+
+
 def expand_prefix_rankdata(rankdata_16: RankData,
                            docid_to_smtid_str_32: Mapping[str, str]
                            ) -> Dict[str, Dict[str, List]]:

@@ -147,12 +147,16 @@ def jit_train_step(train_step: Callable, mesh: Mesh, params_example) -> Callable
 class Trainer:
     """Minimal training loop driver: host feeds batches, device steps.
 
-    Checkpoint/resume lives in train/checkpoint.py; metric logging is a
-    callback (the reference's wandb logging, main.py:160-162, is injectable
-    here)."""
+    Periodic checkpointing + auto-resume mirror the reference trainer's
+    save_steps / resume_from_checkpoint (tasks/trainer.py:186-200,
+    380-412,521-544): pass a ``checkpoint_dir`` and an interrupted run
+    restarts from the latest step (params + optimizer state + step count;
+    already-consumed batches are skipped to preserve the data order)."""
 
     def __init__(self, model: RiporModel, cfg: TrainConfig, params,
-                 mesh: Optional[Mesh] = None, log_fn=None):
+                 mesh: Optional[Mesh] = None, log_fn=None,
+                 checkpoint_dir: Optional[str] = None,
+                 save_steps: int = 15_000, max_to_keep: int = 5):
         self.model = model
         self.cfg = cfg
         self.tx = make_optimizer(cfg)
@@ -162,12 +166,23 @@ class Trainer:
         self._step = jit_train_step(step, mesh, params) if mesh is not None \
             else jax.jit(step)
         self.log_fn = log_fn or (lambda m, s: None)
+        self.save_steps = save_steps
+        self._ckpt = None
+        if checkpoint_dir is not None:
+            from ripor_tpu.train.checkpoint import CheckpointManager
+            self._ckpt = CheckpointManager(checkpoint_dir, max_to_keep)
+            latest = self._ckpt.latest_step()
+            if latest is not None:
+                self.state = self._ckpt.restore(latest, like=self.state)
 
     def run(self, batches, rng, log_every: int = 100):
         """batches: iterable of fixed-shape batch dicts."""
         metrics = None
-        for batch in batches:
+        start_step = int(self.state.step)
+        for i, batch in enumerate(batches):
             rng, sub = jax.random.split(rng)
+            if i < start_step:      # resume: skip consumed batches
+                continue
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
             self.state, metrics = self._step(self.state, batch, sub)
@@ -175,4 +190,8 @@ class Trainer:
             if step % log_every == 0:
                 host = {k: float(v) for k, v in metrics.items()}
                 self.log_fn(host, step)
+            if self._ckpt is not None and step % self.save_steps == 0:
+                self._ckpt.save(step, self.state)
+        if self._ckpt is not None and metrics is not None:
+            self._ckpt.save(int(self.state.step), self.state)
         return self.state, metrics
