@@ -78,6 +78,155 @@ def cmd_e2e(args):
     print(json.dumps(metrics, indent=2))
 
 
+def cmd_index(args):
+    """Encode the corpus into chunked embedding shards (reference
+    evaluate.py task=mmap -> DenseIndexing.store_embs; one host shard per
+    --rank of --nranks)."""
+    from ripor_tpu.data import Collection, UnigramTokenizer, tokenize_docs
+    from ripor_tpu.data.emb_store import ShardWriter, host_shard_slice, write_plan
+    from ripor_tpu.evaluation.retriever import encode_corpus
+    from ripor_tpu.models.ripor import RiporModel
+
+    ws, cfg, model, params = _load_workspace_model(args.workspace, args.phase)
+    tok = UnigramTokenizer.load(ws.path("tokenizer.json"))
+    docs = Collection(args.docs)
+    sl = host_shard_slice(len(docs), args.rank, args.nranks)
+    writer = ShardWriter(ws.path("embs"), rank=args.rank,
+                         chunk_size=args.chunk_size)
+    bs = args.batch_size
+    ids_all = docs.ids[sl]
+    for s in range(0, len(ids_all), bs):
+        chunk_ids = ids_all[s:s + bs]
+        texts = [docs[d] for d in chunk_ids]
+        ids, mask = tokenize_docs(tok, texts, args.max_length)
+        n = len(texts)
+        if n < bs:  # pad to fixed shape, drop padding rows after encode
+            pad = bs - n
+            ids = np.concatenate([ids, np.zeros((pad,) + ids.shape[1:], ids.dtype)])
+            mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], mask.dtype)])
+        embs = encode_corpus(model, params, [{
+            "input_ids": ids, "attention_mask": mask, "n_valid": n}])
+        writer.add(embs, chunk_ids)
+    writer.finalize()
+    if args.rank == args.nranks - 1:
+        write_plan(ws.path("embs"), args.nranks)
+    print(f"rank {args.rank}: wrote {writer.chunks_written} chunks")
+
+
+def cmd_merge_embs(args):
+    """Merge embedding shards -> doc_embeds.mmap + text_ids.tsv (reference
+    evaluate.py task=mmap_2 -> aggregate_embs_to_mmap)."""
+    from ripor_tpu.data.emb_store import merge_to_mmap, write_plan
+    from pathlib import Path as _P
+    if not (_P(args.emb_dir) / "plan.json").exists():
+        write_plan(args.emb_dir, args.nranks)
+    path, n = merge_to_mmap(args.emb_dir, args.mmap_dir)
+    print(f"wrote {path} ({n} rows)")
+
+
+def cmd_aq_index(args):
+    """Train the RQ codebooks over the corpus mmap and emit
+    docid_to_smtid.json + codebooks (reference evaluate.py task=aq_index ->
+    AddictvieQuantizeIndexer.index + create_customized_smtid_file.py)."""
+    from ripor_tpu.data import save_docid_to_smtid
+    from ripor_tpu.data.emb_store import open_mmap
+    from ripor_tpu.quantize import rq_encode, train_rq
+
+    embs, docids = open_mmap(args.mmap_dir, d=args.dim)
+    x = np.asarray(embs[:args.max_train] if args.max_train else embs)
+    books = train_rq(x, M=args.M, K=args.K, kmeans_iters=args.kmeans_iters)
+    codes = rq_encode(books, np.asarray(embs), beam=args.encode_beam)
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    books.save(out / "codebooks.npz")
+    save_docid_to_smtid(out / "docid_to_smtid.json", docids, codes)
+    uniq = len(np.unique(codes, axis=0))
+    print(f"wrote {out}/docid_to_smtid.json: {len(docids)} docs, "
+          f"{uniq} unique smtids ({uniq/len(docids):.1%})")
+
+
+def cmd_hnsw_index(args):
+    """Build the HNSW ANN graph over the corpus mmap (reference
+    HNSWIndexer.index, tasks/evaluator.py:40-65)."""
+    from ripor_tpu.data.emb_store import open_mmap
+    from ripor_tpu.evaluation.hnsw import HnswIndex
+
+    embs, docids = open_mmap(args.mmap_dir, d=args.dim)
+    index = HnswIndex.build(np.asarray(embs), num_links=args.num_links,
+                            ef_construct=args.ef_construct, docids=docids)
+    index.save(args.index_dir)
+    print(f"wrote {args.index_dir}/model.index "
+          f"({index.size} vecs, native={index.is_native})")
+
+
+def cmd_dense_retrieve(args):
+    """Dense retrieval over the corpus: flat (exact, sharded einsum top-k;
+    reference task=retrieve) or --ann hnsw (reference old HNSW path)."""
+    import jax.numpy as jnp
+    from ripor_tpu.data import Collection, UnigramTokenizer, tokenize_queries
+    from ripor_tpu.data.emb_store import open_mmap
+    from ripor_tpu.evaluation.retriever import (dense_topk, encode_corpus,
+                                                retrieve_to_run)
+
+    ws, cfg, model, params = _load_workspace_model(args.workspace, args.phase)
+    tok = UnigramTokenizer.load(ws.path("tokenizer.json"))
+    queries = Collection(args.queries)
+    ids, mask = tokenize_queries(tok, [queries[q] for q in queries.ids],
+                                 args.max_length)
+    q_embs = encode_corpus(model, params, [{
+        "input_ids": ids, "attention_mask": mask}])
+    if args.ann == "hnsw":
+        from ripor_tpu.evaluation.hnsw import HnswIndex
+        index = HnswIndex.load(args.index_dir)
+        run = index.retrieve_to_run(queries.ids, q_embs, args.topk,
+                                    ef_search=args.ef_search)
+    else:
+        embs, docids = open_mmap(args.mmap_dir, d=args.dim)
+        scores, idx = dense_topk(q_embs, np.asarray(embs), args.topk)
+        run = retrieve_to_run(queries.ids, docids, scores, idx)
+    with open(args.out, "w") as f:
+        json.dump(run, f)
+    print(f"wrote {args.out} ({len(run)} queries)")
+
+
+def cmd_rerank(args):
+    """Cross-encoder teacher scoring of a run file -> teacher trainset JSONL
+    (reference rerank.py task=rerank_for_create_trainset{,_2})."""
+    import jax
+    import jax.numpy as jnp
+    from ripor_tpu.data import Collection, UnigramTokenizer
+    from ripor_tpu.evaluation.reranker import rerank_pairs
+    from ripor_tpu.models.cross_encoder import BertCrossEncoder
+    from ripor_tpu.train import load_params
+
+    tok = UnigramTokenizer.load(args.tokenizer)
+    queries = Collection(args.queries)
+    docs = Collection(args.docs)
+    with open(args.run) as f:
+        run = json.load(f)
+    ce = BertCrossEncoder(vocab_size=args.ce_vocab_size)
+    params = load_params(args.ce_checkpoint)
+
+    @jax.jit
+    def score(ids, mask):
+        return ce.apply({"params": params}, jnp.asarray(ids),
+                        jnp.asarray(mask), deterministic=True)
+
+    pairs = [(q, d) for q, dd in run.items() for d in list(dd)[:args.topk]]
+    scored = rerank_pairs(lambda i, m: np.asarray(score(i, m)), tok,
+                          queries, docs, pairs,
+                          batch_size=args.batch_size,
+                          max_length=args.max_length)
+    with open(args.out, "w") as f:
+        for qid, doc_scores in scored.items():
+            ranked = sorted(doc_scores.items(), key=lambda kv: -kv[1])
+            f.write(json.dumps({
+                "qid": qid,
+                "docids": [d for d, _ in ranked],
+                "scores": [s for _, s in ranked]}) + "\n")
+    print(f"wrote {args.out} ({len(scored)} queries)")
+
+
 def cmd_train(args):
     from ripor_tpu.pipeline.e2e import run_train_from_config
     cfg = json.loads(Path(args.config).read_text())
@@ -163,6 +312,70 @@ def main(argv=None):
     p2.add_argument("--s2s-examples", default=None)
     p2.add_argument("--config", default=None)
     p2.set_defaults(fn=cmd_e2e)
+
+    pi = sub.add_parser("index", help="encode corpus to embedding shards")
+    pi.add_argument("--workspace", required=True)
+    pi.add_argument("--docs", required=True)
+    pi.add_argument("--phase", default="final")
+    pi.add_argument("--rank", type=int, default=0)
+    pi.add_argument("--nranks", type=int, default=1)
+    pi.add_argument("--batch-size", type=int, default=256)
+    pi.add_argument("--max-length", type=int, default=128)
+    pi.add_argument("--chunk-size", type=int, default=500_000)
+    pi.set_defaults(fn=cmd_index)
+
+    pm = sub.add_parser("merge-embs", help="merge shards -> doc_embeds.mmap")
+    pm.add_argument("--emb-dir", required=True)
+    pm.add_argument("--mmap-dir", required=True)
+    pm.add_argument("--nranks", type=int, default=1)
+    pm.set_defaults(fn=cmd_merge_embs)
+
+    pa = sub.add_parser("aq-index", help="train RQ codebooks + docid_to_smtid")
+    pa.add_argument("--mmap-dir", required=True)
+    pa.add_argument("--out-dir", required=True)
+    pa.add_argument("--M", type=int, default=32)
+    pa.add_argument("--K", type=int, default=256)
+    pa.add_argument("--dim", type=int, default=None)
+    pa.add_argument("--kmeans-iters", type=int, default=25)
+    pa.add_argument("--encode-beam", type=int, default=4)
+    pa.add_argument("--max-train", type=int, default=0,
+                    help="cap k-means training rows (0 = all)")
+    pa.set_defaults(fn=cmd_aq_index)
+
+    ph = sub.add_parser("hnsw-index", help="build HNSW ANN graph from mmap")
+    ph.add_argument("--mmap-dir", required=True)
+    ph.add_argument("--index-dir", required=True)
+    ph.add_argument("--dim", type=int, default=None)
+    ph.add_argument("--num-links", type=int, default=32)
+    ph.add_argument("--ef-construct", type=int, default=128)
+    ph.set_defaults(fn=cmd_hnsw_index)
+
+    pdr = sub.add_parser("dense-retrieve", help="dense retrieval (flat|hnsw)")
+    pdr.add_argument("--workspace", required=True)
+    pdr.add_argument("--queries", required=True)
+    pdr.add_argument("--phase", default="final")
+    pdr.add_argument("--ann", choices=["flat", "hnsw"], default="flat")
+    pdr.add_argument("--mmap-dir", default=None)
+    pdr.add_argument("--index-dir", default=None)
+    pdr.add_argument("--dim", type=int, default=None)
+    pdr.add_argument("--topk", type=int, default=100)
+    pdr.add_argument("--ef-search", type=int, default=128)
+    pdr.add_argument("--max-length", type=int, default=64)
+    pdr.add_argument("--out", default="run.json")
+    pdr.set_defaults(fn=cmd_dense_retrieve)
+
+    prr = sub.add_parser("rerank", help="cross-encoder teacher scoring")
+    prr.add_argument("--run", required=True)
+    prr.add_argument("--queries", required=True)
+    prr.add_argument("--docs", required=True)
+    prr.add_argument("--tokenizer", required=True)
+    prr.add_argument("--ce-checkpoint", required=True)
+    prr.add_argument("--ce-vocab-size", type=int, default=32000)
+    prr.add_argument("--topk", type=int, default=100)
+    prr.add_argument("--batch-size", type=int, default=64)
+    prr.add_argument("--max-length", type=int, default=256)
+    prr.add_argument("--out", default="teacher_trainset.jsonl")
+    prr.set_defaults(fn=cmd_rerank)
 
     pt = sub.add_parser("train", help="train one phase from a JSON config")
     pt.add_argument("--config", required=True)

@@ -7,6 +7,7 @@ from ripor_tpu.evaluation.metrics import (
     recall_k,
     truncate_run,
 )
+from ripor_tpu.evaluation.hnsw import HnswIndex, recall_vs_exact
 from ripor_tpu.evaluation.retriever import (
     dense_topk,
     encode_corpus,
@@ -17,4 +18,5 @@ __all__ = [
     "mrr_k", "recall_k", "ndcg_cut_k", "evaluate_run", "load_and_evaluate",
     "truncate_run", "qrel_to_smtid_qrel",
     "dense_topk", "encode_corpus", "retrieve_to_run",
+    "HnswIndex", "recall_vs_exact",
 ]

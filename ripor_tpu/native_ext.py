@@ -60,6 +60,25 @@ def load_native() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double)]
     lib.ripor_free.restype = None
     lib.ripor_free.argtypes = [ctypes.c_void_p]
+    lib.hnsw_build.restype = ctypes.c_void_p
+    lib.hnsw_build.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64]
+    lib.hnsw_search.restype = ctypes.c_int
+    lib.hnsw_search.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int32]
+    lib.hnsw_save.restype = ctypes.c_int
+    lib.hnsw_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.hnsw_load.restype = ctypes.c_void_p
+    lib.hnsw_load.argtypes = [ctypes.c_char_p]
+    lib.hnsw_size.restype = ctypes.c_int64
+    lib.hnsw_size.argtypes = [ctypes.c_void_p]
+    lib.hnsw_dim.restype = ctypes.c_int32
+    lib.hnsw_dim.argtypes = [ctypes.c_void_p]
+    lib.hnsw_free.restype = None
+    lib.hnsw_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -155,3 +174,79 @@ def eval_metrics_native(run: Dict[str, Dict[str, float]],
         return None
     valid = out[out >= 0.0]  # recall marks no-rel queries with -1
     return float(valid.mean()) if len(valid) else 0.0
+
+
+class HnswHandle:
+    """RAII wrapper over the C++ HNSW graph (native/hnsw.cc)."""
+
+    def __init__(self, ptr: int):
+        self._lib = load_native()
+        self._ptr = ctypes.c_void_p(ptr)
+
+    def __del__(self):
+        if getattr(self, "_ptr", None) and self._lib is not None:
+            self._lib.hnsw_free(self._ptr)
+            self._ptr = None
+
+    @property
+    def size(self) -> int:
+        return int(self._lib.hnsw_size(self._ptr))
+
+    @property
+    def dim(self) -> int:
+        return int(self._lib.hnsw_dim(self._ptr))
+
+
+def hnsw_build_native(vecs: np.ndarray, num_links: int = 32,
+                      ef_construct: int = 128, n_threads: int = 0,
+                      seed: int = 0) -> Optional[HnswHandle]:
+    """Build an inner-product HNSW graph. None if native unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    vecs = np.ascontiguousarray(vecs, np.float32)
+    N, d = vecs.shape
+    ptr = lib.hnsw_build(
+        vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(N), ctypes.c_int32(d), ctypes.c_int32(num_links),
+        ctypes.c_int32(ef_construct), ctypes.c_int32(n_threads),
+        ctypes.c_uint64(seed))
+    return HnswHandle(ptr) if ptr else None
+
+
+def hnsw_search_native(handle: HnswHandle, queries: np.ndarray, k: int,
+                       ef_search: int = 0, n_threads: int = 0
+                       ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Search the graph: returns (ids [nq,k] int64, scores [nq,k] f32)."""
+    lib = load_native()
+    if lib is None or handle is None:
+        return None
+    queries = np.ascontiguousarray(queries, np.float32)
+    nq = queries.shape[0]
+    ids = np.empty((nq, k), np.int64)
+    scores = np.empty((nq, k), np.float32)
+    rc = lib.hnsw_search(
+        handle._ptr, queries.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(nq), ctypes.c_int32(k),
+        ctypes.c_int32(ef_search or max(64, k)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int32(n_threads))
+    if rc != 0:
+        return None
+    return ids, scores
+
+
+def hnsw_save_native(handle: HnswHandle, path: str) -> bool:
+    lib = load_native()
+    if lib is None or handle is None:
+        return False
+    return lib.hnsw_save(handle._ptr, path.encode()) == 0
+
+
+def hnsw_load_native(path: str) -> Optional[HnswHandle]:
+    lib = load_native()
+    if lib is None:
+        return None
+    ptr = lib.hnsw_load(path.encode())
+    return HnswHandle(ptr) if ptr else None
