@@ -131,3 +131,188 @@ def expand_prefix_rankdata(rankdata_16: RankData,
                 bucket.setdefault(full, []).append([docid, score])
         out[qid] = bucket
     return out
+
+
+def pseudo_query_examples(docid_to_rankdata: Mapping[str, Mapping[str, float]],
+                          qid_to_query: Mapping[str, str],
+                          score_threshold: float = 1.0):
+    """(docid -> {pseudo_qid: teacher score}, qid -> query text) ->
+    (all, filtered) seq2seq examples {"docid","query"}; filtered keeps
+    score > threshold (reference create_pseudo_query_to_docid_map.py:18-27,
+    producing query_to_docid.train{,.filtered}.json for phase-2)."""
+    all_ex, filtered = [], []
+    for docid, rankdata in docid_to_rankdata.items():
+        for qid, score in rankdata.items():
+            ex = {"docid": str(docid), "query": qid_to_query[str(qid)]}
+            all_ex.append(ex)
+            if score > score_threshold:
+                filtered.append(ex)
+    return all_ex, filtered
+
+
+def build_bce_examples(qrel: Mapping[str, Mapping[str, int]],
+                       run: Mapping[str, Mapping[str, float]],
+                       neg_sample: int = 50,
+                       rng: Optional[np.random.Generator] = None
+                       ) -> List[tuple]:
+    """Pointwise BCE training triples (qid, docid, label) for the T5Seq
+    cross-encoder: per qrel positive, `neg_sample` negatives drawn from the
+    query's run, interleaved 1/0 then shuffled (reference
+    build_bce_example_for_t5seq_encoder.py:55-70)."""
+    rng = rng or np.random.default_rng(4680)
+    examples = []
+    for qid, rels in qrel.items():
+        cand = list(run[str(qid)].keys())
+        for rel_docid in rels:
+            k = min(neg_sample, len(cand))
+            negs = [cand[i] for i in rng.choice(len(cand), size=k,
+                                                replace=False)]
+            for neg in negs:
+                examples.append((str(qid), str(rel_docid), 1))
+                examples.append((str(qid), str(neg), 0))
+    order = rng.permutation(len(examples))
+    return [examples[i] for i in order]
+
+
+def nway_labels(nway: int) -> List[float]:
+    """Rank-bucket label template: [1, 1/2 .. 1/5, 0 x5, -0.5 x(nway-10)]
+    (reference create_nway_dataset_from_score_dataset.py:21-26)."""
+    labels = [1.0 / (x + 1) for x in range(5)]
+    labels += [0.0] * 5
+    labels += [-0.5] * (nway - 10)
+    return labels
+
+
+def nway_dataset(teacher_examples: Iterable[Dict], nway: int = 50
+                 ) -> List[Dict]:
+    """Teacher-score examples {'qid','docids','scores'} (score-descending)
+    -> listwise n-way examples {'qid','docids','labels'} (reference
+    create_nway_dataset_from_score_dataset.py:12-30)."""
+    out = []
+    for ex in teacher_examples:
+        docids = ex["docids"][:nway]
+        if len(docids) < nway:
+            continue  # reference asserts len >= nway; skip short lists
+        scores = ex["scores"][:nway]
+        assert all(scores[i] >= scores[i + 1] for i in range(len(scores) - 1)), \
+            "teacher scores must be sorted desc"
+        out.append({"qid": ex["qid"], "docids": docids,
+                    "labels": nway_labels(nway)})
+    return out
+
+
+def truncate_examples(examples: Iterable[Dict], trunc_num: int) -> List[Dict]:
+    """Truncate every aligned list field (smtids + all *scores) to the top
+    `trunc_num` entries (reference truncate_lng_knp_json_example.py /
+    truncate_the_early_score_score_jsonl_example.py)."""
+    out = []
+    for ex in examples:
+        new = {}
+        for key, val in ex.items():
+            if isinstance(val, list):
+                new[key] = val[:trunc_num]
+            else:
+                new[key] = val
+        out.append(new)
+    return out
+
+
+def qrel_first_examples(qid_to_reldocid_to_score: Mapping[str, Mapping[str, float]],
+                        docid_to_smtid_str: Mapping[str, str],
+                        qid_smtid_rankdata: RankData,
+                        max_new_token: int, decay: int = 2) -> List[Dict]:
+    """Force qrel positives to rank 0: one example per (qid, rel docid) with
+    the positive's smtid + UNDECAYED teacher score first, followed by the
+    decay-weighted rankdata smtids sorted desc (reference
+    add_qrel_first_create_json_example.py:36-92). Queries absent from the
+    rankdata are skipped, as in the reference (:72-74)."""
+    factor = DECAY_TO_FACTOR[decay][max_new_token]
+    examples = []
+    for qid, reldocid_to_score in qid_to_reldocid_to_score.items():
+        qid = str(qid)
+        if qid not in qid_smtid_rankdata:
+            continue
+        scored = {smtid: max(x[1] for x in pairs) * factor
+                  for smtid, pairs in qid_smtid_rankdata[qid].items()}
+        pairs = sorted(scored.items(), key=lambda x: x[1], reverse=True)
+        smtids = [p[0] for p in pairs]
+        scores = [p[1] for p in pairs]
+        for reldocid, relscore in reldocid_to_score.items():
+            relsmtid = docid_to_smtid_str[str(reldocid)]
+            examples.append({"qid": qid,
+                             "smtids": [relsmtid] + smtids,
+                             "scores": [relscore] + scores})
+    return examples
+
+
+def merge_self_neg_sym_neg(qid_to_reldocid_to_rank: Mapping[str, Mapping[str, Sequence[Sequence]]],
+                           qid_to_reldocid_to_score: Mapping[str, Mapping[str, float]],
+                           qid_smtid_rankdata: RankData,
+                           docid_to_smtid_str: Mapping[str, str],
+                           max_new_token: int, decay: int = 2,
+                           threshold: int = 80) -> List[Dict]:
+    """Symmetric-hard-negative merge (reference
+    merge_self_neg_sym_neg_for_jsonl_example.py:49-96): per (qid, rel docid)
+    -> example led by the positive's smtid + UNDECAYED score, followed by
+    the union of (a) the positive's symmetric hard negatives and (b) the
+    query's self beam-search rankdata, both decay-weighted, max on
+    collision, sorted desc, capped at `threshold` smtids total."""
+    factor = DECAY_TO_FACTOR[decay][max_new_token]
+    examples = []
+    for qid, reldocid_to_rank in qid_to_reldocid_to_rank.items():
+        qid = str(qid)
+        self_scored = {}
+        for smtid, pairs in qid_smtid_rankdata.get(qid, {}).items():
+            self_scored[smtid] = max(x[1] for x in pairs) * factor
+        for reldocid, rank in reldocid_to_rank.items():
+            relsmtid = docid_to_smtid_str[str(reldocid)]
+            merged: Dict[str, float] = {}
+            for docid, score in rank:
+                smtid = docid_to_smtid_str[str(docid)]
+                s = factor * score
+                merged[smtid] = max(merged.get(smtid, -np.inf), s)
+            for smtid, s in self_scored.items():
+                merged[smtid] = max(merged.get(smtid, -np.inf), s)
+            relscore = qid_to_reldocid_to_score[qid][str(reldocid)]
+            example = {"qid": qid, "smtids": [relsmtid], "scores": [relscore]}
+            for smtid, s in sorted(merged.items(), key=lambda x: x[1],
+                                   reverse=True):
+                if smtid != relsmtid:
+                    example["smtids"].append(smtid)
+                    example["scores"].append(s)
+                if len(example["smtids"]) == threshold:
+                    break
+            examples.append(example)
+    return examples
+
+
+def add_qrel_examples(qid_to_reldocid_to_score: Mapping[str, Mapping[str, float]],
+                      docid_to_smtid_str: Mapping[str, str],
+                      qid_smtid_rankdata: RankData,
+                      max_new_token: int, decay: int = 2) -> List[Dict]:
+    """Like qrel_first_examples but dedup-aware: the positive smtid is
+    prepended ONLY when it is not already among the rankdata smtids; when
+    present, the example keeps the rankdata order/scores unchanged
+    (reference add_qrel_to_qid_smtid_rerank_and_create_jsonl_example.py:
+    62-89, relrate accounting)."""
+    factor = DECAY_TO_FACTOR[decay][max_new_token]
+    examples = []
+    for qid, reldocid_to_score in qid_to_reldocid_to_score.items():
+        qid = str(qid)
+        if qid not in qid_smtid_rankdata:
+            continue
+        scored = {smtid: max(x[1] for x in pairs) * factor
+                  for smtid, pairs in qid_smtid_rankdata[qid].items()}
+        pairs = sorted(scored.items(), key=lambda x: x[1], reverse=True)
+        smtids = [p[0] for p in pairs]
+        scores = [p[1] for p in pairs]
+        for reldocid, relscore in reldocid_to_score.items():
+            relsmtid = docid_to_smtid_str[str(reldocid)]
+            if relsmtid in scored:
+                examples.append({"qid": qid, "smtids": smtids,
+                                 "scores": scores})
+            else:
+                examples.append({"qid": qid,
+                                 "smtids": [relsmtid] + smtids,
+                                 "scores": [relscore] + scores})
+    return examples
