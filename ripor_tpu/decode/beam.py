@@ -65,21 +65,30 @@ def _trie_allowed(children, unique_codes, state, t):
     return allowed, rows
 
 
-def _reorder_cache(cache, src_beam, use_pallas: bool = True):
-    """Gather the stacked KV cache [L, 2, B, N, Mc, H, D] along the beam
+def _reorder_cache(cache, src_beam, use_pallas: bool = True,
+                   kv_new=None, t=None, dest=None):
+    """Gather the stacked KV cache [L, 2, B, N, Mc, H*D] along the beam
     axis by src_beam [B, N].
 
     This is the decode loop's bandwidth hot spot (~GBs/step at beam 1000).
-    The pallas row-DMA kernel (ops/beam_gather.py) runs it at HBM copy speed
-    on a zero-copy reshape view of the single cache buffer; XLA's
-    elementwise gather (CPU tests / fallback) is ~2x slower on TPU."""
-    L, two, B, N, Mc, H, D = cache.shape
+    The pallas path fuses the position-t k/v insert into the reorder
+    (ops/beam_gather.py::beam_gather_update) so the cache has exactly ONE
+    writer per step and XLA never materializes protective copies of it;
+    kv_new [L, 2, B, N, H*D] comes from the pallas decode step. On the XLA
+    path (CPU tests / fallback) kv_new is None — the decode step already
+    wrote slot t — and the reorder is a plain take_along_axis."""
+    L, two, B, N, Mc, HD = cache.shape
     if use_pallas:
-        from ripor_tpu.ops.beam_gather import beam_gather_rows
-        flat = cache.reshape(L * two * B, N, Mc * H * D)
+        from ripor_tpu.ops.beam_gather import (beam_gather_rows,
+                                               beam_gather_update)
+        assert kv_new is not None
+        flat = cache.reshape(L * two * B, N, Mc, HD)
         src_rep = jnp.tile(src_beam.reshape(B, N), (L * two, 1))
-        return beam_gather_rows(flat, src_rep).reshape(cache.shape)
-    idx = src_beam[None, None, :, :, None, None, None]
+        kvg = beam_gather_rows(kv_new.reshape(L * two * B, N, HD), src_rep)
+        dest_flat = None if dest is None else dest.reshape(flat.shape)
+        return beam_gather_update(flat, kvg, src_rep, t,
+                                  dest_flat).reshape(cache.shape)
+    idx = src_beam[None, None, :, :, None, None]
     return jnp.take_along_axis(cache, idx, axis=3)
 
 
@@ -102,15 +111,23 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     (sizes M/S, 2M/S, ..., M), cutting reorder+attention traffic ~40%
     at S=4. Set 1 to disable.
     """
-    model = RiporModel(cfg, dtype=dtype)
     M = max_steps or cfg.M
     N = num_beams
     K = cfg.K
     if use_pallas_gather is None:
         use_pallas_gather = jax.default_backend() == "tpu"
+    model = RiporModel(
+        cfg, dtype=dtype,
+        step_attn_impl="pallas" if use_pallas_gather else "xla")
     seg = max(1, min(cache_segments, M))
-    # segment boundaries: equal step spans, cache sized to the span end
-    bounds = [round(M * (s + 1) / seg) for s in range(seg)]
+    # segment boundaries: equal step spans; the cache BUFFER for a segment
+    # rounds its slot count up to a multiple of 8 (sublane tiling of the
+    # [Mc, H*D] KV block — Mosaic requires 8-aligned block slices). Extra
+    # slots are masked by the key-position bias, so they only cost memory.
+    bounds = sorted(set(round(M * (s + 1) / seg) for s in range(seg)))
+    bounds[-1] = M
+    bufs = [-8 * (-b // 8) for b in bounds]   # ceil8; may exceed M
+    seg = len(bounds)
 
     @jax.jit
     def run(params, input_ids, attention_mask, children, unique_codes):
@@ -120,7 +137,7 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
         cross_kv = model.apply({"params": params}, enc,
                                method=lambda m, e: m.decoder.precompute_cross_kv(e))
         self_bias = model.apply(
-            {"params": params}, M,
+            {"params": params}, bufs[-1],
             method=lambda m, n: m.decoder.full_self_bias(n))
         enc_bias = jnp.where(attention_mask > 0, 0.0, NEG_INF).astype(jnp.float32)
 
@@ -128,12 +145,11 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
         state = jnp.zeros((B, N), jnp.int32)          # all at trie root
         tokens = jnp.zeros((B, N), jnp.int32)
         codes = jnp.zeros((B, N, M), jnp.int32)
-        cache = model.apply({"params": params}, B, N, bounds[0],
+        cache = model.apply({"params": params}, B, N, bufs[0],
                             method=lambda m, b, n, l: m.decoder.init_cache(b, n, l))
 
-        def step(carry, t):
-            beam_scores, state, tokens, codes, cache = carry
-            logits, new_cache = model.apply(
+        def one_step(beam_scores, state, tokens, codes, cache, dest, t):
+            logits, new_cache, kv_new = model.apply(
                 {"params": params}, tokens, cache, cross_kv, enc_bias,
                 self_bias, t, method=RiporModel.decode_step)   # [B, N, K] f32
             if constrained:
@@ -161,17 +177,43 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             codes = jnp.take_along_axis(codes, src[:, :, None], axis=1)
             codes = jnp.where((jnp.arange(M) == t)[None, None, :],
                               tok[:, :, None], codes)
-            new_cache = _reorder_cache(new_cache, src, use_pallas_gather)
-            return (new_scores, new_state, tok, codes, new_cache), None
+            new_cache = _reorder_cache(new_cache, src, use_pallas_gather,
+                                       kv_new=kv_new, t=t, dest=dest)
+            return new_scores, new_state, tok, codes, new_cache
+
+        def step(carry, t):
+            beam_scores, state, tokens, codes, cache = carry
+            out = one_step(beam_scores, state, tokens, codes, cache, None, t)
+            return out, None
+
+        def step_pair(carry, ts):
+            # ping-pong double buffering: each sub-step's reorder writes
+            # into the OTHER buffer (aliased pallas output), so the while
+            # carry stays in place — without this, XLA copies the kernel
+            # output back into the carry slot every step (full-cache copy).
+            beam_scores, state, tokens, codes, ca, cb = carry
+            beam_scores, state, tokens, codes, cb = one_step(
+                beam_scores, state, tokens, codes, ca, cb, ts[0])
+            beam_scores, state, tokens, codes, ca = one_step(
+                beam_scores, state, tokens, codes, cb, ca, ts[1])
+            return (beam_scores, state, tokens, codes, ca, cb), None
 
         lo = 0
         for s, hi in enumerate(bounds):
-            carry = (beam_scores, state, tokens, codes, cache)
-            carry, _ = jax.lax.scan(step, carry, jnp.arange(lo, hi))
-            beam_scores, state, tokens, codes, cache = carry
+            span = hi - lo
+            if use_pallas_gather and span % 2 == 0:
+                scratch = jnp.zeros_like(cache)
+                carry = (beam_scores, state, tokens, codes, cache, scratch)
+                carry, _ = jax.lax.scan(
+                    step_pair, carry, jnp.arange(lo, hi).reshape(-1, 2))
+                beam_scores, state, tokens, codes, cache, _ = carry
+            else:
+                carry = (beam_scores, state, tokens, codes, cache)
+                carry, _ = jax.lax.scan(step, carry, jnp.arange(lo, hi))
+                beam_scores, state, tokens, codes, cache = carry
             if s + 1 < seg:  # grow the cache buffer for the next segment
-                grow = bounds[s + 1] - hi
-                cache = jnp.pad(cache, [(0, 0)] * 4 + [(0, grow), (0, 0), (0, 0)])
+                grow = bufs[s + 1] - bufs[s]
+                cache = jnp.pad(cache, [(0, 0)] * 4 + [(0, grow), (0, 0)])
             lo = hi
         return beam_scores, codes, state
 

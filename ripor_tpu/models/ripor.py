@@ -36,6 +36,7 @@ class RiporModel(nn.Module):
     cfg: RiporConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    step_attn_impl: str = "xla"   # decode-path self-attention impl; see Decoder
 
     def setup(self):
         t5 = self.cfg.t5
@@ -45,7 +46,8 @@ class RiporModel(nn.Module):
             embedding_init=nn.initializers.normal(stddev=1.0),
             dtype=self.dtype, param_dtype=self.param_dtype, name="shared")
         self.encoder = Encoder(t5, name="encoder", **kw)
-        self.decoder = Decoder(t5, name="decoder", **kw)
+        self.decoder = Decoder(t5, name="decoder",
+                               step_attn_impl=self.step_attn_impl, **kw)
         # [M, K, d] per-position codebooks (decoder input embeds; reference :103-105)
         self.codebooks = self.param(
             "codebooks", nn.initializers.normal(stddev=1.0),
@@ -159,6 +161,19 @@ class RiporModel(nn.Module):
         return jnp.sum(hidden.astype(jnp.float32)
                        * self.doc_embeds(codes).astype(jnp.float32), axis=(-2, -1))
 
+    def rerank_score_prefix(self, input_ids, attention_mask, codes, lengths,
+                            deterministic: bool = True):
+        """rerank_score over only the first ``lengths[b]`` positions — the
+        quantity the reference's query_to_smtid_reranking sums when smtids
+        are prefixes (tasks/reranker.py:102-107 with seq_len = prefix len).
+        codes: [B, m] padded; lengths: [B] int32. Returns [B]."""
+        hidden = self(input_ids, attention_mask, codes, deterministic=deterministic)
+        per_pos = jnp.sum(hidden.astype(jnp.float32)
+                          * self.doc_embeds(codes).astype(jnp.float32), axis=-1)
+        mask = (jnp.arange(codes.shape[1])[None, :]
+                < lengths[:, None]).astype(jnp.float32)
+        return jnp.sum(per_pos * mask, axis=-1)
+
     def dense_rep(self, input_ids, attention_mask, prefix_codes=None,
                   deterministic: bool = True):
         """Dense-encoder mode (phase 1): decoder hidden at the last input
@@ -193,7 +208,8 @@ class RiporModel(nn.Module):
         """One constrained-beam decode step.
 
         tokens: [B, N] int32 codes chosen at step t-1 (ignored at t=0).
-        Returns (logits [B, N, K] fp32 for position t, new cache).
+        Returns (logits [B, N, K] fp32 for position t, cache, kv_new) —
+        see Decoder.decode_step for the cache/kv_new contract.
         """
         b, n = tokens.shape
         books = self._in_books()
@@ -204,13 +220,13 @@ class RiporModel(nn.Module):
         prev_books = books[jnp.maximum(t - 1, 0)]        # [K, d]
         tok_embed = prev_books[tokens]                   # [B, N, d]
         x = jnp.where(t == 0, start, tok_embed)
-        hidden, new_cache = self.decoder.decode_step(
+        hidden, new_cache, kv_new = self.decoder.decode_step(
             x, cache, cross_kv, enc_bias, self_bias, t)
         logits = jnp.einsum("bnd,kd->bnk", hidden, self._out_books()[t],
                             preferred_element_type=jnp.float32)
         if self.cfg.apply_log_softmax:
             logits = jax.nn.log_softmax(logits, axis=-1)
-        return logits, new_cache
+        return logits, new_cache, kv_new
 
 
 def init_ripor_params(rng: jax.Array, cfg: RiporConfig, dtype=jnp.float32):

@@ -90,11 +90,21 @@ def _step_self_attention(q, cache_k, cache_v, bias_row, dtype):
 
     q: [B, N, H, D]; cache: [B, N, M, H, D]; bias_row: [H, M] (relpos row t
     + causal mask for positions > t). Returns [B, N, H, D].
+
+    Deliberately NOT a dot_general: per-beam decode attention is a batched
+    matvec, and XLA's dot layout assignment wants the beam axis minor —
+    which fights the default layout the pallas beam-reorder kernel pins on
+    the KV cache, inserting two full-cache relayout copies per decode step
+    (~40% of step time at beam 1000). As broadcast-multiply + reduce the op
+    lowers to a layout-agnostic VPU fusion that reads the cache in place;
+    the FLOPs (2*N*M*d_model per layer) are trivially VPU-affordable.
     """
-    scores = jnp.einsum("bnhd,bnmhd->bnhm", q, cache_k, preferred_element_type=jnp.float32)
-    scores = scores + bias_row[None, None].astype(jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-    return jnp.einsum("bnhm,bnmhd->bnhd", probs, cache_v)
+    scores = (q[:, :, None].astype(jnp.float32)
+              * cache_k.astype(jnp.float32)).sum(-1)        # [B, N, M, H]
+    scores = scores + bias_row.T[None, None].astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=2)
+    return (probs[..., None].astype(jnp.float32)
+            * cache_v.astype(jnp.float32)).sum(2).astype(dtype)  # [B, N, H, D]
 
 
 def _step_cross_attention(q, enc_k, enc_v, enc_bias, dtype):
@@ -151,7 +161,13 @@ class DecoderLayer(nn.Module):
                     self_bias_row):
         """Attention over the (already updated) cache slices + cross + FFN."""
         attn = _step_self_attention(q, cache_k, cache_v, self_bias_row, self.dtype)
-        x = x + self._proj_out(attn)
+        return self.step_finish_with_attn(x, attn.reshape(
+            x.shape[0], x.shape[1], self.cfg.inner_dim), enc_k, enc_v, enc_bias)
+
+    def step_finish_with_attn(self, x, attn_flat, enc_k, enc_v, enc_bias):
+        """Residual + output proj for a precomputed self-attention result
+        [B, N, inner_dim] (pallas step_attention path), then cross + FFN."""
+        x = x + self.self_attn.o(attn_flat)
         h = self.cross_attn_norm(x)
         cq = self.cross_attn.project_q(h)
         attn = _step_cross_attention(cq, enc_k, enc_v, enc_bias, self.dtype)
@@ -177,6 +193,10 @@ class Decoder(nn.Module):
     cfg: T5Config
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # "xla" (reduce-fusion, CPU-safe) | "pallas" (step_attention kernel; on
+    # TPU keeps the KV cache layout pinned so no relayout copies appear
+    # between the attention and the beam-reorder kernel)
+    step_attn_impl: str = "xla"
 
     def setup(self):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
@@ -207,27 +227,77 @@ class Decoder(nn.Module):
         return tuple(layer.cross_kv(enc) for layer in self.layers)
 
     def init_cache(self, batch: int, num_beams: int, max_len: int) -> Cache:
+        """KV cache [L, 2, B, N, Mc, H*D]: heads kept MERGED in storage so
+        the minor dims (Mc, H*D=768) tile exactly to the TPU (8, 128) layout
+        — a [.., H=12, D=64] cache pads to (16, 128) per tile, a 2.7x memory
+        and bandwidth tax on every cache touch (attention reads + the beam
+        reorder each step). Heads are split transiently at the einsum."""
         cfg = self.cfg
         return jnp.zeros((cfg.num_decoder_layers, 2, batch, num_beams,
-                          max_len, cfg.num_heads, cfg.d_kv), self.dtype)
+                          max_len, cfg.inner_dim), self.dtype)
 
     def decode_step(self, x, cache: Cache, cross_kv: CrossKV, enc_bias,
                     self_bias_full, t):
         """x: [B, N, d] input embeds at position t. cache: [L, 2, B, N, Mc,
-        H, D] where Mc is the live slot budget (may be < full M under
-        segmented decoding). Returns (hidden, new_cache)."""
+        H*D] where Mc is the live slot budget (may be < full M under
+        segmented decoding).
+
+        Returns (hidden, cache, kv_new): on the XLA path kv_new is None and
+        ``cache`` has position t's k/v written at its slot; on the pallas
+        path the cache is returned UNTOUCHED and kv_new [L, 2, B, N, H*D]
+        carries the new rows — the beam loop folds them in during the
+        reorder (ops/beam_gather.py::beam_gather_update), so the cache has
+        exactly one writer per step and XLA never copies it."""
+        cfg = self.cfg
+        B, N = x.shape[:2]
         cache_len = cache.shape[4]
         bias_row = jax.lax.dynamic_index_in_dim(self_bias_full, t, axis=1,
                                                 keepdims=False)[:, :cache_len]
-        # mask future key positions (cache slots > t are zeros/garbage)
         key_pos = jnp.arange(cache_len)
+        if self.step_attn_impl == "pallas":
+            return self._decode_step_pallas(x, cache, cross_kv, enc_bias,
+                                            bias_row, key_pos, t)
+        # mask future key positions (cache slots > t are zeros/garbage)
         bias_row = bias_row + jnp.where(key_pos <= t, 0.0, NEG_INF)[None, :]
+        heads = (B, N, cache_len, cfg.num_heads, cfg.d_kv)
         for l, (layer, (enc_k, enc_v)) in enumerate(zip(self.layers, cross_kv)):
             q, k, v = layer.step_qkv(x)
             cache = jax.lax.dynamic_update_slice(
-                cache, k[None, None, :, :, None], (l, 0, 0, 0, t, 0, 0))
+                cache, k.reshape(B, N, -1)[None, None, :, :, None],
+                (l, 0, 0, 0, t, 0))
             cache = jax.lax.dynamic_update_slice(
-                cache, v[None, None, :, :, None], (l, 1, 0, 0, t, 0, 0))
-            x = layer.step_finish(x, q, cache[l, 0], cache[l, 1],
+                cache, v.reshape(B, N, -1)[None, None, :, :, None],
+                (l, 1, 0, 0, t, 0))
+            x = layer.step_finish(x, q, cache[l, 0].reshape(heads),
+                                  cache[l, 1].reshape(heads),
                                   enc_k, enc_v, enc_bias, bias_row)
-        return self.final_norm(x), cache
+        return self.final_norm(x), cache, None
+
+    def _decode_step_pallas(self, x, cache, cross_kv, enc_bias, bias_row,
+                            key_pos, t):
+        """TPU decode step: pallas step_attention_fused over the full cache
+        (position t's k/v folded into the softmax directly). The cache is
+        NOT written here — the new k/v rows are returned and merged during
+        the beam reorder — so no XLA op ever reads or writes the cache and
+        buffer assignment cannot materialize protective copies of it."""
+        from ripor_tpu.ops.step_attention import step_attention_fused
+        cfg = self.cfg
+        B, N = x.shape[:2]
+        # history excludes slot t (its value is stale; k_new enters directly)
+        bias_hist = (bias_row
+                     + jnp.where(key_pos < t, 0.0, NEG_INF)[None, :]).T
+        bias_new = jax.lax.dynamic_index_in_dim(
+            bias_row, t, axis=1, keepdims=False)[None, :]    # [1, H]
+        knews, vnews = [], []
+        for l, (layer, (enc_k, enc_v)) in enumerate(zip(self.layers, cross_kv)):
+            q, k, v = layer.step_qkv(x)
+            qf = q.reshape(B, N, -1)
+            kf = k.reshape(B, N, -1)
+            vf = v.reshape(B, N, -1)
+            attn = step_attention_fused(qf, kf, vf, cache, l, bias_hist,
+                                        bias_new, cfg.num_heads)
+            x = layer.step_finish_with_attn(x, attn, enc_k, enc_v, enc_bias)
+            knews.append(kf)
+            vnews.append(vf)
+        kv = jnp.stack([jnp.stack(knews), jnp.stack(vnews)], axis=1)
+        return self.final_norm(x), cache, kv

@@ -106,3 +106,44 @@ def test_retrieve_to_run():
     run = retrieve_to_run(["q1"], ["a", "b", "c"],
                           np.array([[0.5, 0.2]]), np.array([[2, 0]]))
     assert run == {"q1": {"c": 0.5, "a": 0.2}}
+
+
+def test_rerank_query_smtids_prefix_masking(tmp_path, np_rng):
+    """rerank_query_smtids == rerank_score over the prefix positions only
+    (reference query_to_smtid_reranking, tasks/reranker.py:94-123)."""
+    import jax
+    import jax.numpy as jnp
+    from ripor_tpu.data.datasets import Collection
+    from ripor_tpu.data.tokenizer import HashTokenizer, tokenize_queries
+    from ripor_tpu.evaluation.reranker import rerank_query_smtids
+    from ripor_tpu.models import RiporModel, ripor_small
+    from ripor_tpu.models.ripor import init_ripor_params
+
+    cfg = ripor_small(M=4, K=8)
+    params = init_ripor_params(jax.random.PRNGKey(0), cfg)
+    tok = HashTokenizer(vocab_size=cfg.t5.vocab_size)
+    raw = tmp_path / "raw.tsv"
+    raw.write_text("q1\talpha beta\nq2\tgamma\n")
+    queries = Collection(raw)
+
+    out = rerank_query_smtids(cfg, params, tok, queries,
+                              {"q1": ["1_2", "3_0_2_1"], "q2": ["5"]},
+                              batch_size=4, dtype=jnp.float32)
+    assert set(out) == {"q1", "q2"}
+    assert set(out["q1"]) == {"1_2", "3_0_2_1"}
+
+    # manual check for the full-length smtid: equals rerank_score
+    model = RiporModel(cfg, dtype=jnp.float32)
+    ids, mask = tokenize_queries(tok, ["alpha beta"], 64)
+    codes = jnp.asarray([[3, 0, 2, 1]], jnp.int32)
+    full = model.apply({"params": params}, jnp.asarray(ids),
+                       jnp.asarray(mask), codes,
+                       method=RiporModel.rerank_score)
+    assert abs(out["q1"]["3_0_2_1"] - float(full[0])) < 1e-3
+
+    # prefix score differs from padded-full score (masking is real)
+    padded = jnp.asarray([[1, 2, 0, 0]], jnp.int32)
+    full_padded = model.apply({"params": params}, jnp.asarray(ids),
+                              jnp.asarray(mask), padded,
+                              method=RiporModel.rerank_score)
+    assert abs(out["q1"]["1_2"] - float(full_padded[0])) > 1e-6

@@ -72,7 +72,7 @@ def test_decode_step_matches_full_forward():
     step_logits = []
     tokens = jnp.zeros((B, N), jnp.int32)
     for t in range(cfg.M):
-        logits, cache = model.apply(
+        logits, cache, _ = model.apply(
             {"params": params}, tokens, cache, cross_kv, enc_bias, self_bias,
             t, method=RiporModel.decode_step)
         step_logits.append(np.asarray(logits)[:, 0])
