@@ -128,33 +128,32 @@ def _fused_kernel(l_ref, q_ref, knew_ref, vnew_ref, bias_hist_ref,
     Mc = k_ref.shape[4]
     H = num_heads
 
-    q = q_ref[0]                                     # [C, F]
+    q32 = q_ref[0].astype(jnp.float32)               # [C, F]
     head_of = jax.lax.broadcasted_iota(jnp.int32, (F, H), 0) // (F // H)
     head_mask = (head_of == jax.lax.broadcasted_iota(jnp.int32, (F, H), 1))
-    head_mask = head_mask.astype(q.dtype)
-    qb = (q.astype(jnp.float32)[:, :, None]
-          * head_mask.astype(jnp.float32)[None]).astype(q.dtype)  # [C, F, H]
-    # current position's score: sum_d q*k_new per head
-    s_new = jax.lax.dot(
-        (q.astype(jnp.float32) * knew_ref[0].astype(jnp.float32)
-         ).astype(q.dtype), head_mask,
-        preferred_element_type=jnp.float32)          # [C, H]
-    s_new = s_new + bias_new_ref[...].astype(jnp.float32)
+    head_mask32 = head_mask.astype(jnp.float32)      # [F, H]
 
-    s_hist = jax.lax.dot_general(
-        k_ref[0, 0, 0], qb, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)          # [C, Mc, H]
+    # scores[c,m,h] = sum_d K[c,m,d]*q[c,d]*mask[d,h]: elementwise K*q on
+    # the VPU, then ONE [C*Mc, F] x [F, H] dot — a batched-over-C dot here
+    # unrolls into C tiny MXU ops (N=H pads 12->128, 10x waste each).
+    kq = (k_ref[0, 0, 0].astype(jnp.float32)
+          * q32[:, None, :]).reshape(C * Mc, F)      # [C*Mc, F] f32
+    s_hist = jax.lax.dot(kq, head_mask32,
+                         preferred_element_type=jnp.float32).reshape(C, Mc, H)
     s_hist = s_hist + bias_hist_ref[...].astype(jnp.float32)[None]
+    # current position's score: same trick on the [C, F] new keys
+    s_new = jax.lax.dot(knew_ref[0].astype(jnp.float32) * q32, head_mask32,
+                        preferred_element_type=jnp.float32)        # [C, H]
+    s_new = s_new + bias_new_ref[...].astype(jnp.float32)
 
     scores = jnp.concatenate([s_hist, s_new[:, None, :]], axis=1)
     probs = jax.nn.softmax(scores, axis=1)           # [C, Mc+1, H]
-    pe = jax.lax.dot_general(
-        probs[:, :Mc].astype(q.dtype), head_mask.T,
-        (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # [C, Mc, F]
+    # out[c,d] = sum_m V[c,m,d] * (probs @ mask.T)[c,m,d] — again one dot
+    pe = jax.lax.dot(probs[:, :Mc].reshape(C * Mc, H), head_mask32.T,
+                     preferred_element_type=jnp.float32).reshape(C, Mc, F)
     out = (pe * v_ref[0, 0, 0].astype(jnp.float32)).sum(axis=1)
-    pn = jax.lax.dot(probs[:, Mc].astype(q.dtype), head_mask.T,
-                     preferred_element_type=jnp.float32)  # [C, F]
+    pn = jax.lax.dot(probs[:, Mc], head_mask32.T,
+                     preferred_element_type=jnp.float32)           # [C, F]
     out = out + pn * vnew_ref[0].astype(jnp.float32)
     out_ref[0] = out.astype(out_ref.dtype)
 
