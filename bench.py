@@ -39,7 +39,7 @@ def main():
 
     from ripor_tpu.decode.beam import make_beam_search_fn
     from ripor_tpu.models import RiporModel, ripor_base
-    from ripor_tpu.trie import build_trie
+    from ripor_tpu.trie import build_trie, succinct_tables, tables_memory_bytes
 
     n_docs = int(os.environ.get("BENCH_DOCS", 100_000))
     num_beams = int(os.environ.get("BENCH_BEAMS", 1000))
@@ -78,8 +78,9 @@ def main():
     print(f"# trie build {time.time()-t0:.1f}s, {trie.num_internal} internal, "
           f"{trie.memory_bytes()/1e6:.0f} MB", file=sys.stderr)
 
-    children = jnp.asarray(trie.children)
-    unique_codes = jnp.asarray(trie.unique_codes)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+    print(f"# succinct trie tables {tables_memory_bytes(tables)/1e6:.0f} MB",
+          file=sys.stderr)
     run = make_beam_search_fn(cfg, num_beams, constrained=True, dtype=jnp.bfloat16)
 
     # warmup / compile. NOTE: block_until_ready does not synchronize through
@@ -87,14 +88,14 @@ def main():
     # only reliable fence, so scores are pulled to host inside the timed loop
     # (a real retrieval system needs them on host anyway).
     t0 = time.time()
-    s, c, st = run(params, ids, mask, children, unique_codes)
+    s, c, st = run(params, ids, mask, tables)
     np.asarray(s)
     print(f"# compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(iters):
         t0 = time.time()
-        s, c, st = run(params, ids, mask, children, unique_codes)
+        s, c, st = run(params, ids, mask, tables)
         np.asarray(s), np.asarray(st)
         times.append(time.time() - t0)
     per_batch = min(times)

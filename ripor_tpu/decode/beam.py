@@ -45,24 +45,48 @@ class BeamSearchOutput:
     groups: np.ndarray   # [B, N] int32
 
 
-def _trie_allowed(children, unique_codes, state, t):
+def _trie_allowed(tables, state, t, K: int):
     """Allowed-token mask for each beam. state: [B, N] int32.
 
-    internal (>= 0): row gather from the flat children table;
+    internal (>= 0): gather the node's PACKED bitmask row (uint32
+    [B, N, K/32], 32x less gather bandwidth than a dense child row) and
+    unpack bits in-register;
     singleton chain (<= -2): one-hot of the group's code at step t;
     dead (== -1): nothing allowed.
-    Returns (allowed [B, N, K] bool, rows [B, N, K] int32 child values).
+    Returns allowed [B, N, K] bool.
     """
-    K = children.shape[1]
-    rows = children[jnp.maximum(state, 0)]                    # [B, N, K]
-    group = jnp.clip(-2 - state, 0, unique_codes.shape[0] - 1)
-    chain_tok = unique_codes[group, t]                        # [B, N]
+    B, N = state.shape
+    row = tables.bits[jnp.maximum(state, 0)]                  # [B, N, W] u32
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    unpacked = (row[..., None] >> shifts) & jnp.uint32(1)     # [B, N, W, 32]
+    internal_allowed = unpacked.reshape(B, N, -1)[:, :, :K].astype(jnp.bool_)
+    group = jnp.clip(-2 - state, 0, tables.unique_codes.shape[0] - 1)
+    chain_tok = tables.unique_codes[group, t]                 # [B, N]
     chain_allowed = jax.nn.one_hot(chain_tok, K, dtype=jnp.bool_)
     is_internal = (state >= 0)[:, :, None]
     is_chain = (state <= -2)[:, :, None]
-    allowed = jnp.where(is_internal, rows != -1,
-                        jnp.where(is_chain, chain_allowed, False))
-    return allowed, rows
+    return jnp.where(is_internal, internal_allowed,
+                     jnp.where(is_chain, chain_allowed, False))
+
+
+def _trie_child(tables, state, tok):
+    """Child entry for the winning (beam, token) pairs via rank addressing:
+    edge index = node_base[state] + popcount(bits[state] & mask_below(tok)).
+    state: [B, N] (>= 0 internal nodes only — caller guards); tok: [B, N].
+    Returns int32 [B, N] child values (>= 0 internal | <= -2 chain)."""
+    node = jnp.maximum(state, 0)
+    row = tables.bits[node]                                   # [B, N, W] u32
+    W = row.shape[-1]
+    w = (tok // 32)[..., None]                                # [B, N, 1]
+    r = (tok % 32).astype(jnp.uint32)[..., None]
+    widx = jnp.arange(W)[None, None, :]
+    full = jnp.uint32(0xFFFFFFFF)
+    partial = (jnp.uint32(1) << r) - jnp.uint32(1)
+    wmask = jnp.where(widx < w, full, jnp.where(widx == w, partial,
+                                                jnp.uint32(0)))
+    rank = jax.lax.population_count(row & wmask).sum(-1).astype(jnp.int32)
+    e = tables.node_base[node] + rank
+    return tables.edge_child[e]
 
 
 def _reorder_cache(cache, src_beam, use_pallas: bool = True,
@@ -100,10 +124,11 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                         cache_segments: int = 4):
     """Build a jitted beam-search function.
 
-    Returns fn(params, input_ids, attention_mask, children, unique_codes)
-    -> (scores [B,N], codes [B,N,M], states [B,N]).
+    Returns fn(params, input_ids, attention_mask, tables)
+    -> (scores [B,N], codes [B,N,M], states [B,N]); ``tables`` is a
+    TrieTables pytree (trie.succinct.succinct_tables(trie)).
     For unconstrained search (trainer dev-eval; reference
-    tasks/trainer.py:870-977) pass constrained=False and dummy tables.
+    tasks/trainer.py:870-977) pass constrained=False and dummy_tables(M).
 
     ``cache_segments``: the KV cache only needs t+1 slots at step t, and the
     per-step beam reorder is bandwidth-bound on cache bytes — so the decode
@@ -130,7 +155,7 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     seg = len(bounds)
 
     @jax.jit
-    def run(params, input_ids, attention_mask, children, unique_codes):
+    def run(params, input_ids, attention_mask, tables):
         B = input_ids.shape[0]
         enc = model.apply({"params": params}, input_ids, attention_mask,
                           method=RiporModel.encode)
@@ -153,10 +178,9 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                 {"params": params}, tokens, cache, cross_kv, enc_bias,
                 self_bias, t, method=RiporModel.decode_step)   # [B, N, K] f32
             if constrained:
-                allowed, rows = _trie_allowed(children, unique_codes, state, t)
+                allowed = _trie_allowed(tables, state, t, K)
                 masked = jnp.where(allowed, logits, NEG_INF)
             else:
-                rows = None
                 masked = logits
             cand = beam_scores[:, :, None] + masked            # [B, N, K]
             # keep dead beams dead (NEG_INF + logit could exceed NEG_INF)
@@ -167,10 +191,8 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             tok = (idx % K).astype(jnp.int32)
             if constrained:
                 src_state = jnp.take_along_axis(state, src, axis=1)
-                picked_rows = jnp.take_along_axis(
-                    jnp.take_along_axis(rows, src[:, :, None], axis=1),
-                    tok[:, :, None], axis=2)[:, :, 0]
-                new_state = jnp.where(src_state >= 0, picked_rows, src_state)
+                child = _trie_child(tables, src_state, tok)   # [B, N]
+                new_state = jnp.where(src_state >= 0, child, src_state)
                 new_state = jnp.where(new_scores <= NEG_INF / 2, -1, new_state)
             else:
                 new_state = state
@@ -241,14 +263,14 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
                                 cache_segments=cache_segments)
 
     @jax.jit
-    def run(params, input_ids, attention_mask, children, unique_codes):
+    def run(params, input_ids, attention_mask, tables):
         return shard_map(
-            lambda p, i, m, c, u: inner(p, i, m, c, u),
+            lambda p, i, m, tb: inner(p, i, m, tb),
             mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
             out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
             check_vma=False,
-        )(params, input_ids, attention_mask, children, unique_codes)
+        )(params, input_ids, attention_mask, tables)
 
     return run
 
@@ -258,16 +280,13 @@ def beam_search(cfg: RiporConfig, params, input_ids, attention_mask,
                 dtype=jnp.bfloat16) -> BeamSearchOutput:
     """Convenience wrapper (builds+jits per call; hot paths should cache
     make_beam_search_fn)."""
+    from ripor_tpu.trie.succinct import dummy_tables, succinct_tables
     constrained = trie is not None
     fn = make_beam_search_fn(cfg, num_beams, constrained=constrained, dtype=dtype)
-    if constrained:
-        children = jnp.asarray(trie.children)
-        unique_codes = jnp.asarray(trie.unique_codes)
-    else:
-        children = jnp.zeros((1, cfg.K), jnp.int32)
-        unique_codes = jnp.zeros((1, cfg.M), jnp.int32)
+    tables = succinct_tables(trie) if constrained else dummy_tables(cfg.M)
+    tables = jax.tree.map(jnp.asarray, tables)
     scores, codes, state = fn(params, jnp.asarray(input_ids),
-                              jnp.asarray(attention_mask), children, unique_codes)
+                              jnp.asarray(attention_mask), tables)
     scores = np.asarray(scores)
     state = np.asarray(state)
     groups = np.where(state <= -2, -2 - state, -1).astype(np.int32)

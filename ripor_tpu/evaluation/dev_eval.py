@@ -26,14 +26,14 @@ def dev_eval(cfg: RiporConfig, params, query_batches,
     """query_batches: iterable of (ids, mask) fixed-shape batches covering
     the dev queries in order; target_codes: [n_queries, M] relevant smtid
     per query. Returns {"dev_mrr_10", "dev_recall_10"}."""
+    from ripor_tpu.trie.succinct import dummy_tables
     fn = make_beam_search_fn(cfg, num_beams, constrained=False, dtype=dtype)
-    dummy_children = jnp.zeros((1, cfg.K), jnp.int32)
-    dummy_codes = jnp.zeros((1, cfg.M), jnp.int32)
+    tables = jax.tree.map(jnp.asarray, dummy_tables(cfg.M))
 
     rr, hits, n = [], 0, 0
     for ids, mask in query_batches:
         scores, codes, _ = fn(params, jnp.asarray(ids), jnp.asarray(mask),
-                              dummy_children, dummy_codes)
+                              tables)
         codes = np.asarray(codes)
         bz = codes.shape[0]
         for b in range(bz):

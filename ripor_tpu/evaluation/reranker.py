@@ -98,3 +98,53 @@ def add_qrel_positives(run: Dict[str, Dict[str, float]],
                     docs[str(did)] = top + boost
         out[qid] = docs
     return out
+
+
+def rerank_query_smtids(cfg, params, tok: TextTokenizer,
+                        queries: Collection,
+                        qid_to_smtids: Mapping[str, Sequence[str]],
+                        batch_size: int = 64, max_length: int = 64,
+                        dtype=None) -> Dict[str, Dict[str, float]]:
+    """Score (query, smtid) pairs with the RIPOR model's own sequential
+    dot-product (reference Reranker.query_to_smtid_reranking,
+    tasks/reranker.py:94-123, which sums get_query_smtids_score over
+    positions — the same quantity as RiporModel.rerank_score).
+    Returns {qid: {smtid_str: score}}."""
+    import jax
+    import jax.numpy as jnp
+    from ripor_tpu.data.datasets import parse_smtid_str
+    from ripor_tpu.models.ripor import RiporModel
+
+    model = RiporModel(cfg, dtype=dtype if dtype is not None else jnp.bfloat16)
+
+    @jax.jit
+    def score(ids, mask, codes, lengths):
+        return model.apply({"params": params}, ids, mask, codes, lengths,
+                           method=RiporModel.rerank_score_prefix)
+
+    pairs = [(str(q), s) for q, smtids in qid_to_smtids.items()
+             for s in smtids]
+    out: Dict[str, Dict[str, float]] = {}
+    for st in range(0, len(pairs), batch_size):
+        chunk = pairs[st:st + batch_size]
+        pad = batch_size - len(chunk)
+        texts = [queries[q] for q, _ in chunk] + [""] * pad
+        ids, mask = _tokenize_queries(tok, texts, max_length)
+        codes = np.zeros((batch_size, cfg.M), np.int32)
+        lengths = np.zeros((batch_size,), np.int32)
+        for i, (_, smtid) in enumerate(chunk):
+            c = parse_smtid_str(smtid)
+            codes[i, :len(c)] = c
+            lengths[i] = len(c)  # prefix positions only enter the score
+        s = np.asarray(score(jnp.asarray(ids), jnp.asarray(mask),
+                             jnp.asarray(codes), jnp.asarray(lengths)),
+                       np.float32)[:len(chunk)]
+        for (qid, smtid), sc in zip(chunk, s):
+            out.setdefault(qid, {})[smtid] = float(sc)
+    return out
+
+
+def _tokenize_queries(tok: TextTokenizer, texts: Sequence[str],
+                      max_length: int):
+    from ripor_tpu.data.tokenizer import tokenize_queries
+    return tokenize_queries(tok, texts, max_length)

@@ -41,10 +41,11 @@ def beam_prefix_candidates(cfg: RiporConfig, params, tok: TextTokenizer,
     train query and expand every surviving prefix to its documents.
     Returns {qid: {prefix_smtid_str: [docids]}} ready for teacher rescoring
     (reference decode at beam 100, batch 4 — full_evaluate...sh:127-139)."""
+    import jax
+    from ripor_tpu.trie.succinct import succinct_tables
     prefix_codes = np.ascontiguousarray(doc_codes[:, :prefix_len])
     trie = build_trie(prefix_codes, cfg.K)
-    children = jnp.asarray(trie.children)
-    unique_codes = jnp.asarray(trie.unique_codes)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
     fn = make_beam_search_fn(cfg, num_beams, constrained=True,
                              max_steps=prefix_len, dtype=dtype)
     out: Dict[str, Dict[str, List[str]]] = {}
@@ -54,7 +55,7 @@ def beam_prefix_candidates(cfg: RiporConfig, params, tok: TextTokenizer,
         pad = batch_size - len(texts)
         ids, mask = tokenize_queries(tok, texts + [""] * pad, max_length)
         scores, codes, state = fn(params, jnp.asarray(ids), jnp.asarray(mask),
-                                  children, unique_codes)
+                                  tables)
         scores = np.asarray(scores)
         state = np.asarray(state)
         codes = np.asarray(codes)

@@ -161,9 +161,10 @@ def stage_retrieve(ws: Workspace, cfg: RiporConfig, params, tok: TextTokenizer,
                    run_name: str = "run.json") -> Dict[str, Dict[str, float]]:
     """Constrained-beam retrieval over all queries -> trec run dict
     (reference t5seq_aq_retrieve_docids, evaluate.py:396-526)."""
+    import jax
+    from ripor_tpu.trie.succinct import succinct_tables
     fn = make_beam_search_fn(cfg, num_beams, constrained=True)
-    children = jnp.asarray(trie.children)
-    unique_codes = jnp.asarray(trie.unique_codes)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
     run: Dict[str, Dict[str, float]] = {}
     n = len(queries)
     for s in range(0, n, batch_size):
@@ -171,7 +172,7 @@ def stage_retrieve(ws: Workspace, cfg: RiporConfig, params, tok: TextTokenizer,
         pad = batch_size - len(texts)
         ids, mask = tokenize_queries(tok, texts + [""] * pad, max_length)
         scores, codes, state = fn(params, jnp.asarray(ids), jnp.asarray(mask),
-                                  children, unique_codes)
+                                  tables)
         scores = np.asarray(scores)
         groups = np.where(np.asarray(state) <= -2, -2 - np.asarray(state), -1)
         for bi in range(len(texts)):

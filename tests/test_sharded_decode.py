@@ -5,7 +5,7 @@ import numpy as np
 
 from ripor_tpu.decode.beam import make_beam_search_fn, make_sharded_beam_search_fn
 from ripor_tpu.models import RiporModel, ripor_small
-from ripor_tpu.trie import build_trie
+from ripor_tpu.trie import build_trie, succinct_tables
 
 
 def test_sharded_beam_search_parity(mesh8):
@@ -17,14 +17,14 @@ def test_sharded_beam_search_parity(mesh8):
     params = model.init({"params": jax.random.PRNGKey(0)}, ids, mask,
                         jnp.zeros((8, 4), jnp.int32))["params"]
     trie = build_trie(rng.integers(0, 8, (50, 4)), 8)
-    ch, uc = jnp.asarray(trie.children), jnp.asarray(trie.unique_codes)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
 
     run_sh = make_sharded_beam_search_fn(cfg, 5, mesh8, dtype=jnp.float32,
                                          use_pallas_gather=False)
     run_1 = make_beam_search_fn(cfg, 5, dtype=jnp.float32,
                                 use_pallas_gather=False)
-    s_sh, c_sh, st_sh = run_sh(params, ids, mask, ch, uc)
-    s_1, c_1, st_1 = run_1(params, ids, mask, ch, uc)
+    s_sh, c_sh, st_sh = run_sh(params, ids, mask, tables)
+    s_1, c_1, st_1 = run_1(params, ids, mask, tables)
     np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_1), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(c_sh), np.asarray(c_1))
     np.testing.assert_array_equal(np.asarray(st_sh), np.asarray(st_1))
