@@ -51,7 +51,15 @@ def t5_large() -> T5Config:
     return T5Config(d_model=1024, d_ff=4096, num_layers=24, num_decoder_layers=24, num_heads=16)
 
 
-_NAMED_T5 = {"t5-small": t5_small, "t5-base": t5_base, "t5-large": t5_large}
+def t5_3b() -> T5Config:
+    # reference ships start-token embeds for t5-3b too (d_model 1024,
+    # t5_decoder_start_token_embeds/, loaded at t5_generative_retriever.py:116-135)
+    return T5Config(d_model=1024, d_ff=16384, num_layers=24,
+                    num_decoder_layers=24, num_heads=32, d_kv=128)
+
+
+_NAMED_T5 = {"t5-small": t5_small, "t5-base": t5_base, "t5-large": t5_large,
+             "t5-3b": t5_3b}
 
 
 @dataclasses.dataclass(frozen=True)
