@@ -11,6 +11,7 @@ filtering (:632-639).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -122,18 +123,10 @@ def make_train_step(model: RiporModel, cfg: TrainConfig,
 
 def jit_train_step(train_step: Callable, mesh: Mesh, params_example) -> Callable:
     """Jit the step with state replicated-or-TP-sharded and batch
-    data-sharded; XLA inserts the gradient all-reduce over ICI."""
-    pspecs = params_pspec_tree(params_example)
-    state_sharding = TrainState(
-        step=NamedSharding(mesh, P()),
-        params=jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs),
-        opt_state=None,  # resolved below by jit from out_shardings=AUTO
-    )
-    # keep it simple & robust: let jit infer opt_state/state shardings from
-    # inputs; we only pin the batch to the data axis
-    del state_sharding
-
-    @jax.jit
+    data-sharded; XLA inserts the gradient all-reduce over ICI. The state
+    (params + Adam moments, ~3x params bytes) is DONATED so the update is
+    in place instead of double-buffered."""
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, rng):
         batch = jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(
@@ -160,11 +153,14 @@ class Trainer:
         self.model = model
         self.cfg = cfg
         self.tx = make_optimizer(cfg)
+        # the step DONATES the state (in-place update, no double buffer);
+        # copy once so the caller's params pytree stays valid
+        params = jax.tree.map(jnp.copy, params)
         self.state = TrainState.create(params, self.tx)
         self.mesh = mesh
         step = make_train_step(model, cfg, self.tx)
         self._step = jit_train_step(step, mesh, params) if mesh is not None \
-            else jax.jit(step)
+            else jax.jit(step, donate_argnums=(0,))
         self.log_fn = log_fn or (lambda m, s: None)
         self.save_steps = save_steps
         self._ckpt = None
