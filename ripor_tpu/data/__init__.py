@@ -17,6 +17,7 @@ from ripor_tpu.data.datasets import (
     save_docid_to_smtid,
     smtid_to_str,
 )
+from ripor_tpu.data.loader import PrefetchLoader, device_prefetch, epoch_batches
 from ripor_tpu.data.collators import (
     MarginMSECollator,
     PretrainCollator,
@@ -33,4 +34,5 @@ __all__ = [
     "parse_smtid_str", "smtid_to_str",
     "MarginMSECollator", "Seq2SeqCollator", "PretrainCollator",
     "batches_from_teacher_examples", "batches_from_seq2seq",
+    "PrefetchLoader", "device_prefetch", "epoch_batches",
 ]

@@ -171,8 +171,15 @@ class Trainer:
             if latest is not None:
                 self.state = self._ckpt.restore(latest, like=self.state)
 
-    def run(self, batches, rng, log_every: int = 100):
-        """batches: iterable of fixed-shape batch dicts."""
+    def run(self, batches, rng, log_every: int = 100,
+            flops_per_step: Optional[float] = None):
+        """batches: iterable of fixed-shape batch dicts. Pass
+        ``flops_per_step`` (e.g. 6 * n_params * tokens_per_batch) to get
+        MFU in the logs (utils/observability.py; the reference only has
+        HF's FLOs counter, tasks/trainer.py:649)."""
+        from ripor_tpu.utils.observability import StepTimer
+        timer = StepTimer(warmup=2, flops_per_step=flops_per_step,
+                          n_devices=(self.mesh.size if self.mesh else 1))
         metrics = None
         start_step = int(self.state.step)
         for i, batch in enumerate(batches):
@@ -181,10 +188,12 @@ class Trainer:
                 continue
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
-            self.state, metrics = self._step(self.state, batch, sub)
+            with timer:
+                self.state, metrics = self._step(self.state, batch, sub)
             step = int(self.state.step)
             if step % log_every == 0:
                 host = {k: float(v) for k, v in metrics.items()}
+                host.update(timer.summary())
                 self.log_fn(host, step)
             if self._ckpt is not None and step % self.save_steps == 0:
                 self._ckpt.save(step, self.state)

@@ -140,3 +140,38 @@ def test_process_sharding(tiny_data):
     b1 = list(batches_from_teacher_examples(examples, coll, 1, process_index=1,
                                             process_count=2))
     assert len(b0) == 1 and len(b1) == 1  # disjoint shards of the 2 examples
+
+
+def test_prefetch_loader_order_and_errors():
+    from ripor_tpu.data.loader import PrefetchLoader, epoch_batches
+
+    batches = [{"x": np.full((2,), i)} for i in range(10)]
+    out = list(PrefetchLoader(batches, buffer=3))
+    assert len(out) == 10
+    for i, b in enumerate(out):
+        assert b["x"][0] == i
+
+    def bad():
+        yield {"x": np.zeros(1)}
+        raise ValueError("boom")
+    it = iter(PrefetchLoader(bad(), buffer=2))
+    next(it)
+    try:
+        next(it)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "boom" in str(e)
+
+    eps = list(epoch_batches(lambda e: [{"e": np.full((1,), e)}] * 2, 3))
+    assert [int(b["e"][0]) for b in eps] == [0, 0, 1, 1, 2, 2]
+
+
+def test_device_prefetch_matches():
+    import jax
+    from ripor_tpu.data.loader import device_prefetch
+
+    batches = [{"x": np.full((4,), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(batches, size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_allclose(np.asarray(b["x"]), i)
