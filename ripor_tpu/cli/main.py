@@ -233,6 +233,15 @@ def cmd_train(args):
     run_train_from_config(cfg)
 
 
+def cmd_pipeline(args):
+    """Declarative multi-stage pipeline with manifest resume (replaces the
+    reference's chained full_scripts/*.sh)."""
+    from ripor_tpu.pipeline.runner import run_pipeline
+    spec = json.loads(Path(args.config).read_text())
+    ran = run_pipeline(spec, from_stage=getattr(args, "from_stage", None))
+    print(f"pipeline complete ({len(ran)} stages ran)")
+
+
 def cmd_datagen(args):
     """Phase-3 flywheel: D^B beam prefix candidates + D^R grouping +
     decay merge + lng_knp score attachment (replaces the reference's
@@ -380,6 +389,12 @@ def main(argv=None):
     pt = sub.add_parser("train", help="train one phase from a JSON config")
     pt.add_argument("--config", required=True)
     pt.set_defaults(fn=cmd_train)
+
+    pp = sub.add_parser("pipeline", help="multi-stage pipeline w/ resume")
+    pp.add_argument("--config", required=True)
+    pp.add_argument("--from", dest="from_stage", default=None,
+                    help="force re-run from this stage")
+    pp.set_defaults(fn=cmd_pipeline)
 
     pd = sub.add_parser("datagen", help="phase-3 flywheel data generation")
     pd.add_argument("--workspace", required=True)

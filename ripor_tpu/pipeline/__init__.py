@@ -16,6 +16,7 @@ from ripor_tpu.pipeline.datagen import (
     truncate_examples,
 )
 from ripor_tpu.pipeline.recipe import Workspace
+from ripor_tpu.pipeline.runner import PipelineManifest, run_pipeline
 
 __all__ = [
     "DECAY_TO_FACTOR", "MNT_TO_SMTID_FACTOR", "attach_lng_knp_scores",
@@ -24,4 +25,5 @@ __all__ = [
     "pseudo_query_examples", "build_bce_examples", "nway_labels",
     "nway_dataset", "truncate_examples", "qrel_first_examples",
     "merge_self_neg_sym_neg", "add_qrel_examples",
+    "run_pipeline", "PipelineManifest",
 ]

@@ -105,3 +105,41 @@ def test_e2e_slice(tmp_path):
     # retrieve their doc's smtid
     assert metrics["mrr_10"] > 0.5, metrics
     assert metrics["recall_10"] > 0.5, metrics
+
+
+def test_pipeline_runner_resume(tmp_path):
+    """Stages run once, skip when complete, re-run via --from, and fail on
+    missing declared outputs."""
+    from ripor_tpu.pipeline.runner import run_pipeline
+
+    calls = []
+    out_a = tmp_path / "a.txt"
+
+    def fake_cli(argv):
+        calls.append(argv[0])
+        if argv[0] == "a":
+            out_a.write_text("x")
+
+    spec = {"workspace": str(tmp_path), "stages": [
+        {"name": "a", "argv": ["a"], "outputs": [str(out_a)]},
+        {"name": "b", "argv": ["b"]},
+    ]}
+    ran = run_pipeline(spec, cli_main=fake_cli, log=lambda m: None)
+    assert ran == ["a", "b"] and calls == ["a", "b"]
+
+    ran = run_pipeline(spec, cli_main=fake_cli, log=lambda m: None)
+    assert ran == [] and calls == ["a", "b"]  # all skipped
+
+    out_a.unlink()  # missing output -> stage re-runs
+    ran = run_pipeline(spec, cli_main=fake_cli, log=lambda m: None)
+    assert ran == ["a"]
+
+    ran = run_pipeline(spec, cli_main=fake_cli, from_stage="b",
+                       log=lambda m: None)
+    assert ran == ["b"]
+
+    bad = {"workspace": str(tmp_path), "stages": [
+        {"name": "c", "argv": ["c"], "outputs": [str(tmp_path / "never")]}]}
+    import pytest
+    with pytest.raises(RuntimeError, match="outputs missing"):
+        run_pipeline(bad, cli_main=fake_cli, log=lambda m: None)
