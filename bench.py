@@ -50,7 +50,9 @@ def main():
     seq_len = int(os.environ.get("BENCH_SEQ", 64))
     iters = int(os.environ.get("BENCH_ITERS", 5))
 
-    cfg = ripor_base(M=32, K=256)
+    M = int(os.environ.get("BENCH_M", 32))      # 16x1024 variant: BENCH_M=16
+    K = int(os.environ.get("BENCH_K", 256))     #                  BENCH_K=1024
+    cfg = ripor_base(M=M, K=K)
     model = RiporModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
 
@@ -70,8 +72,8 @@ def main():
 
     # synthetic corpus codes: correlated like real RQ output (shared prefixes)
     doc_codes = np.concatenate([
-        rng.integers(0, 64, (n_docs, 4)),          # narrow early levels
-        rng.integers(0, 256, (n_docs, cfg.M - 4)),
+        rng.integers(0, max(K // 4, 2), (n_docs, 4)),   # narrow early levels
+        rng.integers(0, K, (n_docs, cfg.M - 4)),
     ], axis=1).astype(np.int32)
     t0 = time.time()
     trie = build_trie(doc_codes, cfg.K)
@@ -107,7 +109,7 @@ def main():
     print(json.dumps({
         "metric": "constrained_beam_queries_per_sec",
         "value": round(qps, 3),
-        "unit": f"qps@beam{num_beams}_t5base_{n_docs}docs_1chip",
+        "unit": f"qps@beam{num_beams}_t5base_{M}x{K}_{n_docs}docs_1chip",
         "vs_baseline": round(qps / baseline_qps, 3),
     }))
 
