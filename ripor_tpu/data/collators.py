@@ -6,7 +6,7 @@ arrays (no -1 sentinel — the shift-right happens inside the model).
 """
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -12,9 +12,8 @@ from __future__ import annotations
 import collections
 import queue
 import threading
-from typing import Callable, Dict, Iterable, Iterator, Optional, Sequence
+from typing import Callable, Dict, Iterable, Iterator, Optional
 
-import numpy as np
 
 
 class PrefetchLoader:

@@ -19,7 +19,6 @@ max_new_token at evaluate.py:128 — same quantity).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -254,7 +253,7 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
     DDP inference, evaluate.py:457-487). Batch must divide by the data-axis
     size."""
     from jax import shard_map
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
     from ripor_tpu.core.mesh import DATA_AXIS
 
     inner = make_beam_search_fn(cfg, num_beams, constrained=constrained,

@@ -9,7 +9,7 @@ tasks/evaluator.py:733-751).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ tasks/evaluator.py:494-555) with fixed-shape batching.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, Iterable, Optional, Tuple
+from typing import Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,14 +14,13 @@ Two teacher families, mirroring the reference (modeling/cross_encoder.py):
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from ripor_tpu.models.config import RiporConfig, T5Config
-from ripor_tpu.models.layers import Attention, FeedForward, padding_bias
+from ripor_tpu.models.layers import Attention, padding_bias
 from ripor_tpu.models.ripor import RiporModel
 
 

@@ -14,7 +14,6 @@ instead of via mutable collections.
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,6 @@ implicit (shift-right inserts the learned start embedding).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

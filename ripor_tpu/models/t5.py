@@ -14,7 +14,7 @@ Capability parity with the reference's use of HF ``T5Stack``
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
@@ -28,7 +28,6 @@ from ripor_tpu.models.layers import (
     RMSNorm,
     RelativePositionBias,
     causal_bias,
-    dot_product_attention,
     padding_bias,
 )
 

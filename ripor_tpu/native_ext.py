@@ -6,7 +6,6 @@ point has a pure-numpy fallback so the framework works without a compiler.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Dict, Optional, Tuple

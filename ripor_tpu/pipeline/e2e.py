@@ -11,7 +11,6 @@ of the framework on one chip.
 from __future__ import annotations
 
 import json
-from pathlib import Path
 from typing import Dict, Optional
 
 import jax

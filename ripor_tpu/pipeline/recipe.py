@@ -20,7 +20,7 @@ from __future__ import annotations
 import json
 import time
 from pathlib import Path
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, Iterable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,6 @@ from ripor_tpu.data import (
     UnigramTokenizer,
     load_docid_to_smtid,
     save_docid_to_smtid,
-    smtid_to_str,
     tokenize_docs,
     tokenize_queries,
 )
@@ -40,7 +39,6 @@ from ripor_tpu.decode import expand_groups_to_docids
 from ripor_tpu.decode.beam import make_beam_search_fn
 from ripor_tpu.evaluation import evaluate_run, retrieve_to_run
 from ripor_tpu.models import RiporModel, RiporConfig, install_codebooks
-from ripor_tpu.models.ripor import init_ripor_params
 from ripor_tpu.quantize import RQCodebooks, rq_encode, train_rq
 from ripor_tpu.trie import DocIdTrie, build_trie
 from ripor_tpu.train import TrainConfig, Trainer, load_params, save_params

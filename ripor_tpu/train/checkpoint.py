@@ -8,11 +8,9 @@ install/resize is an explicit transform applied at restore time.
 """
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Any, Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -21,7 +21,7 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ripor_tpu.models.ripor import RiporModel
-from ripor_tpu.parallel.sharding import params_pspec_tree, shard_batch
+from ripor_tpu.parallel.sharding import shard_batch
 from ripor_tpu.train import losses as loss_lib
 
 
