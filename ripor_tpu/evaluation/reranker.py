@@ -148,3 +148,51 @@ def _tokenize_queries(tok: TextTokenizer, texts: Sequence[str],
                       max_length: int):
     from ripor_tpu.data.tokenizer import tokenize_queries
     return tokenize_queries(tok, texts, max_length)
+
+
+def rerank_cond_prefix(cfg, params, tok: TextTokenizer,
+                       queries: Collection, docs: Collection,
+                       triples: Sequence[Tuple[str, str, Sequence[int]]],
+                       batch_size: int = 64, max_length: int = 64,
+                       dtype=None) -> Dict[str, Dict[str, float]]:
+    """Prefix-conditioned dense scoring: score(q | smtid prefix, d) =
+    <dense_rep(q, prefix), dense_rep(d)> (reference
+    Reranker.cond_prev_smtid_t5seq_encoder_reranking, tasks/reranker.py:
+    125-155, calling T5SeqPretrainEncoder.cond_prev_smtid_query_doc_score,
+    t5_generative_retriever.py:672-706 — the phase-1 prefix stage's
+    inference engine). triples: (qid, docid, prefix code list, all the same
+    length). Returns {qid: {docid: score}}."""
+    import jax
+    import jax.numpy as jnp
+    from ripor_tpu.models.ripor import RiporModel
+
+    model = RiporModel(cfg, dtype=dtype if dtype is not None else jnp.bfloat16)
+    plen = len(triples[0][2])
+    assert all(len(t[2]) == plen for t in triples), "uniform prefix length"
+
+    @jax.jit
+    def score(q_ids, q_mask, prefix, d_ids, d_mask):
+        q_rep = model.apply({"params": params}, q_ids, q_mask, prefix,
+                            method=RiporModel.dense_rep)
+        d_rep = model.apply({"params": params}, d_ids, d_mask,
+                            method=RiporModel.dense_rep)
+        return jnp.sum(q_rep.astype(jnp.float32)
+                       * d_rep.astype(jnp.float32), axis=-1)
+
+    from ripor_tpu.data.tokenizer import tokenize_docs, tokenize_queries
+    out: Dict[str, Dict[str, float]] = {}
+    for s in range(0, len(triples), batch_size):
+        chunk = triples[s:s + batch_size]
+        pad = batch_size - len(chunk)
+        q_texts = [queries[q] for q, _, _ in chunk] + [""] * pad
+        d_texts = [docs[d] for _, d, _ in chunk] + [""] * pad
+        prefixes = np.asarray([list(p) for _, _, p in chunk]
+                              + [[0] * plen] * pad, np.int32)
+        q_ids, q_mask = tokenize_queries(tok, q_texts, max_length)
+        d_ids, d_mask = tokenize_docs(tok, d_texts, max_length)
+        sc = np.asarray(score(jnp.asarray(q_ids), jnp.asarray(q_mask),
+                              jnp.asarray(prefixes), jnp.asarray(d_ids),
+                              jnp.asarray(d_mask)), np.float32)[:len(chunk)]
+        for (qid, did, _), v in zip(chunk, sc):
+            out.setdefault(str(qid), {})[str(did)] = float(v)
+    return out

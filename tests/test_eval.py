@@ -147,3 +147,40 @@ def test_rerank_query_smtids_prefix_masking(tmp_path, np_rng):
                               jnp.asarray(mask), padded,
                               method=RiporModel.rerank_score)
     assert abs(out["q1"]["1_2"] - float(full_padded[0])) > 1e-6
+
+
+def test_rerank_cond_prefix(tmp_path, np_rng):
+    """Prefix-conditioned dense scoring == manual <q_rep(prefix), d_rep>
+    (reference cond_prev_smtid reranking, tasks/reranker.py:125-155)."""
+    import jax
+    import jax.numpy as jnp
+    from ripor_tpu.data.datasets import Collection
+    from ripor_tpu.data.tokenizer import (HashTokenizer, tokenize_docs,
+                                          tokenize_queries)
+    from ripor_tpu.evaluation.reranker import rerank_cond_prefix
+    from ripor_tpu.models import RiporModel, ripor_small
+    from ripor_tpu.models.ripor import init_ripor_params
+
+    cfg = ripor_small(M=4, K=8)
+    params = init_ripor_params(jax.random.PRNGKey(0), cfg)
+    tok = HashTokenizer(vocab_size=cfg.t5.vocab_size)
+    (tmp_path / "q.tsv").write_text("q1\talpha beta\n")
+    (tmp_path / "d.tsv").write_text("d1\tgamma delta\nd2\tepsilon\n")
+    queries = Collection(tmp_path / "q.tsv")
+    docs = Collection(tmp_path / "d.tsv")
+
+    out = rerank_cond_prefix(cfg, params, tok, queries, docs,
+                             [("q1", "d1", [1, 2]), ("q1", "d2", [1, 2])],
+                             batch_size=4, dtype=jnp.float32)
+    assert set(out["q1"]) == {"d1", "d2"}
+
+    model = RiporModel(cfg, dtype=jnp.float32)
+    q_ids, q_mask = tokenize_queries(tok, ["alpha beta"], 64)
+    d_ids, d_mask = tokenize_docs(tok, ["gamma delta"], 64)
+    q_rep = model.apply({"params": params}, jnp.asarray(q_ids),
+                        jnp.asarray(q_mask), jnp.asarray([[1, 2]], jnp.int32),
+                        method=RiporModel.dense_rep)
+    d_rep = model.apply({"params": params}, jnp.asarray(d_ids),
+                        jnp.asarray(d_mask), method=RiporModel.dense_rep)
+    manual = float(jnp.sum(q_rep * d_rep))
+    assert abs(out["q1"]["d1"] - manual) < 1e-3
