@@ -132,9 +132,15 @@ def cmd_aq_index(args):
     from ripor_tpu.quantize import rq_encode, train_rq
 
     embs, docids = open_mmap(args.mmap_dir, d=args.dim)
-    x = np.asarray(embs[:args.max_train] if args.max_train else embs)
-    books = train_rq(x, M=args.M, K=args.K, kmeans_iters=args.kmeans_iters)
-    codes = rq_encode(books, np.asarray(embs), beam=args.encode_beam)
+    x = embs[:args.max_train] if args.max_train else embs
+    # stream k-means/encoding for corpora larger than HBM (8.8M x 768 fp32
+    # is ~27 GB; the full-HBM path is only for small slices)
+    batch = args.kmeans_batch
+    if batch == 0 and x.shape[0] > 1_000_000:
+        batch = 1_000_000
+    books = train_rq(x, M=args.M, K=args.K, kmeans_iters=args.kmeans_iters,
+                     batch=batch)
+    codes = rq_encode(books, embs, beam=args.encode_beam)
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
     books.save(out / "codebooks.npz")
@@ -348,6 +354,9 @@ def main(argv=None):
     pa.add_argument("--encode-beam", type=int, default=4)
     pa.add_argument("--max-train", type=int, default=0,
                     help="cap k-means training rows (0 = all)")
+    pa.add_argument("--kmeans-batch", type=int, default=0,
+                    help="stream k-means in row blocks (0 = auto: stream "
+                         "above 1M rows)")
     pa.set_defaults(fn=cmd_aq_index)
 
     ph = sub.add_parser("hnsw-index", help="build HNSW ANN graph from mmap")
