@@ -63,7 +63,9 @@ def train_rq(x, M: int, K: int, kmeans_iters: int = 25,
         key = jax.random.PRNGKey(0)
     books = []
     if batch:
-        residual = np.asarray(x, np.float32)
+        # residuals are updated in place per stage; copy (the input is
+        # typically a read-only memmap of the corpus embeddings)
+        residual = np.array(x, np.float32, copy=True)
         for _ in range(M):
             key, sub = jax.random.split(key)
             centroids = np.asarray(

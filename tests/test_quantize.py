@@ -78,3 +78,25 @@ def test_rq_codebooks_feed_model_layout():
                         jnp.zeros((1, 4), jnp.int32))["params"]
     params = install_codebooks(params, books.codebooks)
     np.testing.assert_array_equal(np.asarray(params["codebooks"]), books.codebooks)
+
+
+def test_train_rq_streamed_readonly_memmap(tmp_path, np_rng):
+    """Streamed RQ training must work on a read-only memmap (the corpus
+    store) and match the in-HBM path's reconstruction quality."""
+    import numpy as np
+    from ripor_tpu.quantize import train_rq
+    from ripor_tpu.quantize.rq import reconstruction_mse
+
+    n, d = 400, 8
+    x = np_rng.normal(size=(n, d)).astype(np.float32)
+    path = tmp_path / "embs.mmap"
+    mm = np.memmap(path, np.float32, "w+", shape=(n, d))
+    mm[:] = x
+    mm.flush()
+    ro = np.memmap(path, np.float32, "r").reshape(n, d)
+
+    full = train_rq(x, M=2, K=4, kmeans_iters=5)
+    streamed = train_rq(ro, M=2, K=4, kmeans_iters=5, batch=128)
+    m_full = reconstruction_mse(full, x)
+    m_streamed = reconstruction_mse(streamed, x)
+    assert m_streamed < m_full * 1.5 + 0.5, (m_full, m_streamed)
