@@ -53,6 +53,59 @@ def shard_params(params, mesh: Mesh):
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 
 
+def opt_moment_spec(param_spec: P, leaf: Any) -> P:
+    """ZeRO-style spec for one optimizer moment: keep the param's TP axes
+    and shard the largest remaining free dim over 'data'.
+
+    The reference inherits (but never enables) HF/fairscale sharded-optimizer
+    code paths (tasks/trainer.py:34,61,467-475 ``ShardedDDPOption``); here
+    optimizer-state sharding is first-class: Adam's mu/nu — 2/3 of training
+    state bytes — distribute over the data axis and XLA GSPMD inserts the
+    reduce-scatter/all-gather pair around the update."""
+    ndim = getattr(leaf, "ndim", 0)
+    if ndim == 0:
+        return P()
+    spec = list(param_spec) + [None] * (ndim - len(param_spec))
+    spec = spec[:ndim]
+    free = [i for i, s in enumerate(spec) if s is None]
+    if not free:
+        return P(*spec)
+    largest = max(free, key=lambda i: leaf.shape[i])
+    if leaf.shape[largest] < 8:  # tiny tensors: replication is cheaper
+        return P(*spec)
+    spec[largest] = DATA_AXIS
+    return P(*spec)
+
+
+def opt_state_pspec_tree(opt_state, params):
+    """PartitionSpec pytree for an optax state: subtrees that mirror the
+    params pytree (Adam mu/nu) get :func:`opt_moment_spec`; everything else
+    (step counts, empty states) replicates."""
+    pstruct = jax.tree.structure(params)
+    pspecs = params_pspec_tree(params)
+
+    def is_param_tree(x):
+        try:
+            return jax.tree.structure(x) == pstruct
+        except Exception:
+            return False
+
+    def per_node(x):
+        if is_param_tree(x):
+            return jax.tree.map(opt_moment_spec, pspecs, x)
+        return jax.tree.map(lambda _: P(), x)
+
+    return jax.tree.map(per_node, opt_state, is_leaf=is_param_tree)
+
+
+def shard_opt_state(opt_state, params, mesh: Mesh):
+    """Device-put an optax state with ZeRO-style 'data'-axis sharding."""
+    specs = opt_state_pspec_tree(opt_state, params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        opt_state, specs)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 

@@ -36,6 +36,9 @@ class TrainConfig:
     grad_accum: int = 1
     loss_weights: Optional[Dict[str, float]] = None  # default: all 1.0 (arguments.py:109-141)
     bf16_compute: bool = True
+    # ZeRO-style: shard Adam mu/nu over the mesh 'data' axis (the reference
+    # only inherits dead fairscale ShardedDDP branches, tasks/trainer.py:34)
+    shard_opt_state: bool = False
 
 
 class TrainState(struct.PyTreeNode):
@@ -121,18 +124,27 @@ def make_train_step(model: RiporModel, cfg: TrainConfig,
     return train_step
 
 
-def jit_train_step(train_step: Callable, mesh: Mesh, params_example) -> Callable:
+def jit_train_step(train_step: Callable, mesh: Mesh, params_example,
+                  opt_specs=None) -> Callable:
     """Jit the step with state replicated-or-TP-sharded and batch
     data-sharded; XLA inserts the gradient all-reduce over ICI. The state
     (params + Adam moments, ~3x params bytes) is DONATED so the update is
-    in place instead of double-buffered."""
+    in place instead of double-buffered. ``opt_specs``: optional
+    PartitionSpec pytree pinning the optimizer state (ZeRO sharding over
+    'data'; parallel/sharding.py::opt_state_pspec_tree)."""
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, rng):
         batch = jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))),
             batch)
-        return train_step(state, batch, rng)
+        new_state, metrics = train_step(state, batch, rng)
+        if opt_specs is not None:
+            new_state = new_state.replace(opt_state=jax.tree.map(
+                lambda x, s: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, s)),
+                new_state.opt_state, opt_specs))
+        return new_state, metrics
 
     return step
 
@@ -158,9 +170,17 @@ class Trainer:
         params = jax.tree.map(jnp.copy, params)
         self.state = TrainState.create(params, self.tx)
         self.mesh = mesh
+        opt_specs = None
+        if mesh is not None and cfg.shard_opt_state:
+            from ripor_tpu.parallel.sharding import (opt_state_pspec_tree,
+                                                     shard_opt_state)
+            opt_specs = opt_state_pspec_tree(self.state.opt_state, params)
+            self.state = self.state.replace(
+                opt_state=shard_opt_state(self.state.opt_state, params, mesh))
         step = make_train_step(model, cfg, self.tx)
-        self._step = jit_train_step(step, mesh, params) if mesh is not None \
-            else jax.jit(step, donate_argnums=(0,))
+        self._step = (jit_train_step(step, mesh, params, opt_specs)
+                      if mesh is not None
+                      else jax.jit(step, donate_argnums=(0,)))
         self.log_fn = log_fn or (lambda m, s: None)
         self.save_steps = save_steps
         self._ckpt = None

@@ -144,6 +144,36 @@ def test_trainer_on_mesh(mesh8):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_trainer_zero_opt_sharding_matches(mesh8):
+    """ZeRO-style opt-state sharding: same numerics as the replicated run,
+    and Adam moments actually distributed over the 'data' axis."""
+    cfg, model, params, ids, mask, codes, rng = setup(B=8)
+    batches = [marginmse_batch(ids, mask, codes, rng) for _ in range(3)]
+    key = jax.random.PRNGKey(0)
+
+    tcfg = TrainConfig(loss_type="t5seq_aq_encoder_margin_mse",
+                       learning_rate=1e-3, total_steps=10)
+    t_rep = Trainer(model, tcfg, params, mesh=mesh8)
+    s_rep, _ = t_rep.run(iter(batches), key, log_every=10)
+
+    tcfg_z = TrainConfig(loss_type="t5seq_aq_encoder_margin_mse",
+                         learning_rate=1e-3, total_steps=10,
+                         shard_opt_state=True)
+    t_z = Trainer(model, tcfg_z, params, mesh=mesh8)
+    s_z, _ = t_z.run(iter(batches), key, log_every=10)
+
+    for a, b in zip(jax.tree.leaves(s_rep.params), jax.tree.leaves(s_z.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+    # at least one large moment leaf must be sharded across 'data'
+    sharded = [
+        x for x in jax.tree.leaves(s_z.opt_state)
+        if hasattr(x, "sharding") and x.ndim >= 1 and x.size >= 64
+        and "data" in str(x.sharding)
+    ]
+    assert sharded, "no opt-state leaf sharded over the data axis"
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from ripor_tpu.train import load_params, resize_codebooks, save_params
     cfg, model, params, ids, mask, codes, rng = setup()

@@ -1,0 +1,138 @@
+"""Ablation benchmark for the constrained-beam decode loop.
+
+Times the REAL beam-search jit (bench.py config) with individual components
+stubbed out, attributing the per-step budget by difference. Isolated-kernel
+micro-benchmarks are meaningless through the axon relay (kernel outputs that
+are not consumed by the aliased ping-pong loop get copied at ~1 GB/s), so
+ablation on the intact loop is the only trustworthy attribution.
+
+Variants:
+  full          baseline (same program as bench.py)
+  unconstrained no trie mask/child gathers
+  approx_topk   lax.approx_max_k instead of exact top_k
+  no_reorder    _reorder_cache returns the cache untouched
+  no_attn       step_attention_fused replaced by identity on q
+  one_segment   cache_segments=1 (full-size cache from step 0)
+
+Run on the real chip: python tools/bench_decode_ablate.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+    import numpy as np
+
+    import ripor_tpu.decode.beam as beam_mod
+    from ripor_tpu.models import RiporModel, ripor_base
+    from ripor_tpu.trie import build_trie, succinct_tables
+
+    n_docs = int(os.environ.get("BENCH_DOCS", 100_000))
+    num_beams = int(os.environ.get("BENCH_BEAMS", 1000))
+    batch = int(os.environ.get("BENCH_BATCH", 1))
+    seq_len = int(os.environ.get("BENCH_SEQ", 64))
+    iters = int(os.environ.get("BENCH_ITERS", 4))
+    only = os.environ.get("BENCH_ABLATE", "").split(",") if \
+        os.environ.get("BENCH_ABLATE") else None
+
+    cfg = ripor_base(M=32, K=256)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 32000, (batch, seq_len)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    model = RiporModel(cfg, dtype=jnp.bfloat16)
+    codes0 = jnp.zeros((batch, cfg.M), jnp.int32)
+    t0 = time.time()
+    shapes = jax.eval_shape(
+        lambda k: model.init({"params": k}, ids, mask, codes0)["params"],
+        jax.random.PRNGKey(0))
+    params = jax.tree.map(
+        lambda s: jnp.asarray(0.02 * rng.standard_normal(s.shape), s.dtype),
+        shapes)
+    print(f"# params init {time.time()-t0:.1f}s", flush=True)
+    doc_codes = np.concatenate([
+        rng.integers(0, 64, (n_docs, 4)),
+        rng.integers(0, 256, (n_docs, cfg.M - 4)),
+    ], axis=1).astype(np.int32)
+    trie = build_trie(doc_codes, cfg.K)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+
+    import ripor_tpu.models.t5 as t5_mod
+    import ripor_tpu.ops.step_attention as sa_mod
+    real_attn = sa_mod.step_attention_fused
+    real_reorder = beam_mod._reorder_cache
+    real_topk = jax.lax.top_k
+
+    def run_variant(name, constrained=True, segments=4, attn=None,
+                    reorder=None, topk=None):
+        sa_mod.step_attention_fused = attn or real_attn
+        t5_mod.step_attention_fused = attn or real_attn  # if imported there
+        beam_mod._reorder_cache = reorder or real_reorder
+        if topk is not None:
+            jax.lax.top_k = topk
+        try:
+            fn = beam_mod.make_beam_search_fn(
+                cfg, num_beams, constrained=constrained,
+                dtype=jnp.bfloat16, cache_segments=segments)
+            t0 = time.time()
+            s, c, st = fn(params, ids, mask, tables)
+            np.asarray(s)
+            compile_s = time.time() - t0
+            best = float("inf")
+            for _ in range(iters):
+                t0 = time.time()
+                s, c, st = fn(params, ids, mask, tables)
+                np.asarray(s), np.asarray(st)
+                best = min(best, time.time() - t0)
+            print(f"{name:16s} {best*1e3:8.1f} ms/batch "
+                  f"({best/32*1e3:6.2f} ms/step)  compile {compile_s:.0f}s",
+                  flush=True)
+            return best
+        finally:
+            sa_mod.step_attention_fused = real_attn
+            t5_mod.step_attention_fused = real_attn
+            beam_mod._reorder_cache = real_reorder
+            jax.lax.top_k = real_topk
+
+    def fake_attn(q, k_new, v_new, cache, layer, bias_hist, bias_new,
+                  num_heads, **kw):
+        return q
+
+    def fake_reorder(cache, src_beam, use_pallas=True, kv_new=None, t=None,
+                     dest=None):
+        return cache
+
+    def approx_topk(x, k):
+        return jax.lax.approx_max_k(x, k)
+
+    variants = [
+        ("full", dict()),
+        ("unconstrained", dict(constrained=False)),
+        ("approx_topk", dict(topk=approx_topk)),
+        ("no_reorder", dict(reorder=fake_reorder)),
+        ("no_attn", dict(attn=fake_attn)),
+        ("one_segment", dict(segments=1)),
+    ]
+    results = {}
+    for name, kw in variants:
+        if only and name not in only:
+            continue
+        results[name] = run_variant(name, **kw)
+    if "full" in results:
+        base = results["full"]
+        for name, v in results.items():
+            if name not in ("full", "one_segment"):
+                print(f"# {name:16s} saves {1e3*(base-v):7.1f} ms/batch "
+                      f"({100*(base-v)/base:4.1f}%)")
+
+
+if __name__ == "__main__":
+    main()
