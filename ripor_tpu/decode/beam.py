@@ -172,7 +172,8 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
         cache = model.apply({"params": params}, B, N, bufs[0],
                             method=lambda m, b, n, l: m.decoder.init_cache(b, n, l))
 
-        def one_step(beam_scores, state, tokens, codes, cache, dest, t):
+        def one_step(beam_scores, state, tokens, codes, cache, dest, t,
+                     do_reorder=True):
             logits, new_cache, kv_new = model.apply(
                 {"params": params}, tokens, cache, cross_kv, enc_bias,
                 self_bias, t, method=RiporModel.decode_step)   # [B, N, K] f32
@@ -198,8 +199,9 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             codes = jnp.take_along_axis(codes, src[:, :, None], axis=1)
             codes = jnp.where((jnp.arange(M) == t)[None, None, :],
                               tok[:, :, None], codes)
-            new_cache = _reorder_cache(new_cache, src, use_pallas_gather,
-                                       kv_new=kv_new, t=t, dest=dest)
+            if do_reorder:
+                new_cache = _reorder_cache(new_cache, src, use_pallas_gather,
+                                           kv_new=kv_new, t=t, dest=dest)
             return new_scores, new_state, tok, codes, new_cache
 
         def step(carry, t):
@@ -222,16 +224,37 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
         lo = 0
         for s, hi in enumerate(bounds):
             span = hi - lo
+            # the cache is dead after step M-1: run the tail of the last
+            # segment unrolled so the final step can SKIP the full-cache
+            # reorder (and, on the pallas path, keep ping-pong aliasing for
+            # the second-to-last step without a while-loop carry copy)
+            last_seg = s + 1 == seg
             if use_pallas_gather and span % 2 == 0:
                 scratch = jnp.zeros_like(cache)
-                carry = (beam_scores, state, tokens, codes, cache, scratch)
-                carry, _ = jax.lax.scan(
-                    step_pair, carry, jnp.arange(lo, hi).reshape(-1, 2))
-                beam_scores, state, tokens, codes, cache, _ = carry
+                scan_hi = hi - 2 if last_seg else hi
+                if scan_hi > lo:
+                    carry = (beam_scores, state, tokens, codes, cache, scratch)
+                    carry, _ = jax.lax.scan(
+                        step_pair, carry, jnp.arange(lo, scan_hi).reshape(-1, 2))
+                    beam_scores, state, tokens, codes, cache, scratch = carry
+                if last_seg:
+                    beam_scores, state, tokens, codes, scratch = one_step(
+                        beam_scores, state, tokens, codes, cache, scratch,
+                        hi - 2)
+                    beam_scores, state, tokens, codes, _ = one_step(
+                        beam_scores, state, tokens, codes, scratch, None,
+                        hi - 1, do_reorder=False)
             else:
-                carry = (beam_scores, state, tokens, codes, cache)
-                carry, _ = jax.lax.scan(step, carry, jnp.arange(lo, hi))
-                beam_scores, state, tokens, codes, cache = carry
+                scan_hi = hi - 1 if last_seg else hi
+                if scan_hi > lo:
+                    carry = (beam_scores, state, tokens, codes, cache)
+                    carry, _ = jax.lax.scan(step, carry,
+                                            jnp.arange(lo, scan_hi))
+                    beam_scores, state, tokens, codes, cache = carry
+                if last_seg:
+                    beam_scores, state, tokens, codes, _ = one_step(
+                        beam_scores, state, tokens, codes, cache, None,
+                        hi - 1, do_reorder=False)
             if s + 1 < seg:  # grow the cache buffer for the next segment
                 grow = bufs[s + 1] - bufs[s]
                 cache = jnp.pad(cache, [(0, 0)] * 4 + [(0, grow), (0, 0)])

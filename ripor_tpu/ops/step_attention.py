@@ -136,6 +136,8 @@ def _fused_kernel(l_ref, q_ref, knew_ref, vnew_ref, bias_hist_ref,
     # scores[c,m,h] = sum_d K[c,m,d]*q[c,d]*mask[d,h]: elementwise K*q on
     # the VPU, then ONE [C*Mc, F] x [F, H] dot — a batched-over-C dot here
     # unrolls into C tiny MXU ops (N=H pads 12->128, 10x waste each).
+    # (Kernel time is block-DMA bound — ablation shows compute ~0 — so the
+    # dots stay f32 for precision.)
     kq = (k_ref[0, 0, 0].astype(jnp.float32)
           * q32[:, None, :]).reshape(C * Mc, F)      # [C*Mc, F] f32
     s_hist = jax.lax.dot(kq, head_mask32,

@@ -68,16 +68,19 @@ def main():
     import ripor_tpu.models.t5 as t5_mod
     import ripor_tpu.ops.step_attention as sa_mod
     real_attn = sa_mod.step_attention_fused
+    real_kernel = sa_mod._fused_kernel
     real_reorder = beam_mod._reorder_cache
     real_topk = jax.lax.top_k
 
     def run_variant(name, constrained=True, segments=4, attn=None,
-                    reorder=None, topk=None):
+                    reorder=None, topk=None, kernel=None):
         sa_mod.step_attention_fused = attn or real_attn
         t5_mod.step_attention_fused = attn or real_attn  # if imported there
         beam_mod._reorder_cache = reorder or real_reorder
+        sa_mod._fused_kernel = kernel or real_kernel
         if topk is not None:
             jax.lax.top_k = topk
+        jax.clear_caches()  # step_attention_fused is @jit: force a retrace
         try:
             fn = beam_mod.make_beam_search_fn(
                 cfg, num_beams, constrained=constrained,
@@ -100,6 +103,7 @@ def main():
             sa_mod.step_attention_fused = real_attn
             t5_mod.step_attention_fused = real_attn
             beam_mod._reorder_cache = real_reorder
+            sa_mod._fused_kernel = real_kernel
             jax.lax.top_k = real_topk
 
     def fake_attn(q, k_new, v_new, cache, layer, bias_hist, bias_new,
@@ -113,6 +117,40 @@ def main():
     def approx_topk(x, k):
         return jax.lax.approx_max_k(x, k)
 
+    import jax.numpy as jnpk
+
+    def dma_only_kernel(l_ref, q_ref, knew_ref, vnew_ref, bias_hist_ref,
+                        bias_new_ref, k_ref, v_ref, out_ref, *, num_heads):
+        # same operands/blocks (same DMA traffic), near-zero compute:
+        # out = q + reductions of the streamed K/V blocks
+        red = (k_ref[0, 0, 0].astype(jnpk.float32).sum(axis=1)
+               + v_ref[0, 0, 0].astype(jnpk.float32).sum(axis=1))
+        out_ref[0] = (q_ref[0].astype(jnpk.float32)
+                      + red * 1e-6).astype(out_ref.dtype)
+
+    def scores_only_kernel(l_ref, q_ref, knew_ref, vnew_ref, bias_hist_ref,
+                           bias_new_ref, k_ref, v_ref, out_ref, *,
+                           num_heads):
+        # full score branch (kq mult + mask dot + softmax) but skip the
+        # pe/V output branch
+        import jax as j
+        C, F = q_ref.shape[1], q_ref.shape[2]
+        Mc = k_ref.shape[4]
+        H = num_heads
+        q32 = q_ref[0].astype(jnpk.float32)
+        head_of = j.lax.broadcasted_iota(jnpk.int32, (F, H), 0) // (F // H)
+        head_mask = (head_of == j.lax.broadcasted_iota(jnpk.int32, (F, H), 1))
+        hm = head_mask.astype(jnpk.bfloat16)
+        kq = (k_ref[0, 0, 0].astype(jnpk.float32)
+              * q32[:, None, :]).reshape(C * Mc, F)
+        s_hist = j.lax.dot(kq.astype(jnpk.bfloat16), hm,
+                           preferred_element_type=jnpk.float32).reshape(C, Mc, H)
+        s_hist = s_hist + bias_hist_ref[...].astype(jnpk.float32)[None]
+        probs = j.nn.softmax(s_hist, axis=1)
+        red = v_ref[0, 0, 0].astype(jnpk.float32).sum(axis=1)
+        out_ref[0] = (q32 + probs.sum(axis=(1, 2))[:, None] * 1e-6
+                      + red * 1e-6).astype(out_ref.dtype)
+
     variants = [
         ("full", dict()),
         ("unconstrained", dict(constrained=False)),
@@ -120,6 +158,8 @@ def main():
         ("no_reorder", dict(reorder=fake_reorder)),
         ("no_attn", dict(attn=fake_attn)),
         ("one_segment", dict(segments=1)),
+        ("attn_dma_only", dict(kernel=dma_only_kernel)),
+        ("attn_scores_only", dict(kernel=scores_only_kernel)),
     ]
     results = {}
     for name, kw in variants:
