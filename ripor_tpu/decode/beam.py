@@ -120,7 +120,8 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                         max_steps: Optional[int] = None,
                         dtype=jnp.bfloat16,
                         use_pallas_gather: Optional[bool] = None,
-                        cache_segments: int = 4):
+                        cache_segments: int = 4,
+                        deferred: Optional[bool] = None):
     """Build a jitted beam-search function.
 
     Returns fn(params, input_ids, attention_mask, tables)
@@ -134,6 +135,11 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     runs as ``cache_segments`` scans with a growing cache buffer
     (sizes M/S, 2M/S, ..., M), cutting reorder+attention traffic ~40%
     at S=4. Set 1 to disable.
+
+    ``deferred``: fuse the beam reorder into the attention kernel with a
+    one-step delay (ops/attend_reorder.py) — two full-cache passes per step
+    at parallel-DMA bandwidth instead of three. Default: on whenever the
+    pallas path is on and every segment span is even.
     """
     M = max_steps or cfg.M
     N = num_beams
@@ -152,6 +158,12 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     bounds[-1] = M
     bufs = [-8 * (-b // 8) for b in bounds]   # ceil8; may exceed M
     seg = len(bounds)
+    spans_even = all((hi - lo) % 2 == 0
+                     for lo, hi in zip([0] + bounds[:-1], bounds))
+    if deferred is None:
+        deferred = use_pallas_gather and spans_even
+    if deferred:
+        assert spans_even, "deferred reorder needs even segment spans"
 
     @jax.jit
     def run(params, input_ids, attention_mask, tables):
@@ -172,11 +184,8 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
         cache = model.apply({"params": params}, B, N, bufs[0],
                             method=lambda m, b, n, l: m.decoder.init_cache(b, n, l))
 
-        def one_step(beam_scores, state, tokens, codes, cache, dest, t,
-                     do_reorder=True):
-            logits, new_cache, kv_new = model.apply(
-                {"params": params}, tokens, cache, cross_kv, enc_bias,
-                self_bias, t, method=RiporModel.decode_step)   # [B, N, K] f32
+        def select(beam_scores, state, codes, logits, t):
+            """Trie mask + scored top-k + beam bookkeeping for one step."""
             if constrained:
                 allowed = _trie_allowed(tables, state, t, K)
                 masked = jnp.where(allowed, logits, NEG_INF)
@@ -199,10 +208,39 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             codes = jnp.take_along_axis(codes, src[:, :, None], axis=1)
             codes = jnp.where((jnp.arange(M) == t)[None, None, :],
                               tok[:, :, None], codes)
+            return new_scores, new_state, tok, codes, src
+
+        def one_step(beam_scores, state, tokens, codes, cache, dest, t,
+                     do_reorder=True):
+            logits, new_cache, kv_new = model.apply(
+                {"params": params}, tokens, cache, cross_kv, enc_bias,
+                self_bias, t, method=RiporModel.decode_step)   # [B, N, K] f32
+            new_scores, new_state, tok, codes, src = select(
+                beam_scores, state, codes, logits, t)
             if do_reorder:
                 new_cache = _reorder_cache(new_cache, src, use_pallas_gather,
                                            kv_new=kv_new, t=t, dest=dest)
             return new_scores, new_state, tok, codes, new_cache
+
+        def one_step_deferred(beam_scores, state, tokens, codes, ca, cb,
+                              src_prev, kvg, t, write_back=True):
+            """Step with the reorder deferred into the attention kernel:
+            reads ``ca`` through ``src_prev``, writes the reordered rows
+            (slot t-1 completed from ``kvg``) into ``cb``. Returns the new
+            pending (src, kvg) for the NEXT step."""
+            from ripor_tpu.ops.beam_gather import beam_gather_rows
+            logits, new_cache, kv_new = model.apply(
+                {"params": params}, tokens, ca, cb, src_prev, kvg,
+                cross_kv, enc_bias, self_bias, t, write_back,
+                method=RiporModel.decode_step_deferred)
+            new_scores, new_state, tok, codes, src = select(
+                beam_scores, state, codes, logits, t)
+            if write_back:
+                L2 = kv_new.shape[0] * kv_new.shape[1]
+                flat = kv_new.reshape(L2 * B, N, kv_new.shape[-1])
+                src_rep = jnp.tile(src, (L2, 1))
+                kvg = beam_gather_rows(flat, src_rep).reshape(kv_new.shape)
+            return new_scores, new_state, tok, codes, new_cache, src, kvg
 
         def step(carry, t):
             beam_scores, state, tokens, codes, cache = carry
@@ -220,6 +258,53 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             beam_scores, state, tokens, codes, ca = one_step(
                 beam_scores, state, tokens, codes, cb, ca, ts[1])
             return (beam_scores, state, tokens, codes, ca, cb), None
+
+        if deferred:
+            # carry the PENDING reorder: src_prev (current beam -> previous
+            # row) and kvg (step t-1's k/v permuted to current beam order);
+            # the attention kernel completes it while reading (two cache
+            # passes/step instead of three, all at parallel-DMA bandwidth)
+            src_prev = jnp.broadcast_to(
+                jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
+            kvg = jnp.zeros(cache.shape[:4] + (cache.shape[5],), cache.dtype)
+            cb = jnp.zeros_like(cache)
+
+            def pair_deferred(carry, ts):
+                bs, st, tk, cd, ca_, cb_, sp, kg = carry
+                bs, st, tk, cd, cb_, sp, kg = one_step_deferred(
+                    bs, st, tk, cd, ca_, cb_, sp, kg, ts[0])
+                bs, st, tk, cd, ca_, sp, kg = one_step_deferred(
+                    bs, st, tk, cd, cb_, ca_, sp, kg, ts[1])
+                return (bs, st, tk, cd, ca_, cb_, sp, kg), None
+
+            lo = 0
+            for s, hi in enumerate(bounds):
+                last_seg = s + 1 == seg
+                scan_hi = hi - 2 if last_seg else hi
+                if scan_hi > lo:
+                    carry = (beam_scores, state, tokens, codes, cache, cb,
+                             src_prev, kvg)
+                    carry, _ = jax.lax.scan(
+                        pair_deferred, carry,
+                        jnp.arange(lo, scan_hi).reshape(-1, 2))
+                    (beam_scores, state, tokens, codes, cache, cb,
+                     src_prev, kvg) = carry
+                if last_seg:  # final two steps unrolled; last skips writeback
+                    (beam_scores, state, tokens, codes, cb, src_prev,
+                     kvg) = one_step_deferred(beam_scores, state, tokens,
+                                              codes, cache, cb, src_prev,
+                                              kvg, hi - 2)
+                    (beam_scores, state, tokens, codes, _, src_prev,
+                     kvg) = one_step_deferred(beam_scores, state, tokens,
+                                              codes, cb, cache, src_prev,
+                                              kvg, hi - 1, write_back=False)
+                elif s + 1 < seg:
+                    grow = bufs[s + 1] - bufs[s]
+                    pad = [(0, 0)] * 4 + [(0, grow), (0, 0)]
+                    cache = jnp.pad(cache, pad)
+                    cb = jnp.pad(cb, pad)
+                lo = hi
+            return beam_scores, codes, state
 
         lo = 0
         for s, hi in enumerate(bounds):

@@ -227,6 +227,30 @@ class RiporModel(nn.Module):
             logits = jax.nn.log_softmax(logits, axis=-1)
         return logits, new_cache, kv_new
 
+    def decode_step_deferred(self, tokens, cache_src, cache_dst, src, kvg,
+                             cross_kv: CrossKV, enc_bias, self_bias, t,
+                             write_back: bool = True):
+        """decode_step with the beam reorder deferred one step and fused
+        into the attention kernel (Decoder.decode_step_deferred /
+        ops/attend_reorder.py). ``tokens`` are the codes chosen at step t-1
+        for CURRENT beams; ``src``/``kvg`` carry the pending reorder."""
+        b, n = tokens.shape
+        books = self._in_books()
+        start = jnp.broadcast_to(
+            jnp.asarray(self.start_embed, self.dtype)[None, None, :],
+            (b, n, books.shape[-1]))
+        prev_books = books[jnp.maximum(t - 1, 0)]        # [K, d]
+        tok_embed = prev_books[tokens]                   # [B, N, d]
+        x = jnp.where(t == 0, start, tok_embed)
+        hidden, new_cache, kv_new = self.decoder.decode_step_deferred(
+            x, cache_src, cache_dst, src, kvg, cross_kv, enc_bias,
+            self_bias, t, write_back=write_back)
+        logits = jnp.einsum("bnd,kd->bnk", hidden, self._out_books()[t],
+                            preferred_element_type=jnp.float32)
+        if self.cfg.apply_log_softmax:
+            logits = jax.nn.log_softmax(logits, axis=-1)
+        return logits, new_cache, kv_new
+
 
 def init_ripor_params(rng: jax.Array, cfg: RiporConfig, dtype=jnp.float32):
     """Initialize a parameter pytree with dummy shapes."""

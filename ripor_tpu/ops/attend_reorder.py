@@ -1,0 +1,274 @@
+"""Pallas fused gather + cached attention + deferred beam-reorder writeback.
+
+The decode loop's cache traffic with separate kernels is THREE full passes
+per step — attention block-streaming (~150 GB/s: one big sequential DMA per
+block rides a single queue) plus the beam reorder's read and write (~433
+GB/s combined via parallel per-row DMAs). This kernel collapses them into
+TWO passes at parallel-DMA bandwidth by deferring the physical beam reorder
+one step and folding it into the next step's attention:
+
+  invariant at step t: ``cache_src`` holds slots [0, t-1) physically
+  ordered for the PREVIOUS step's beams; ``src`` maps current beams to
+  previous rows; ``kvg_k/kvg_v`` hold step t-1's k/v already permuted to
+  current beam order.
+
+  per (layer, chunk) grid cell:
+    1. parallel row DMAs: cache_src[l, {K,V}, b, src[n]] -> VMEM buffers
+    2. insert kvg at slot t-1 (one writer; completes the reorder one step
+       late), start writeback DMAs of the now-ordered rows into cache_dst
+    3. attention math on the VMEM rows + position-t k/v folded directly
+       into the softmax (same formulation as step_attention._fused_kernel)
+
+so the separate beam_gather_update pass disappears entirely and the
+attention read runs at parallel-DMA bandwidth. ``cache_dst`` is the
+ping-pong partner buffer (aliased to the output) exactly as in
+ops/beam_gather.py::beam_gather_update.
+
+Reference analogue: the decoder self-attention step + _reorder_cache pair
+inside the beam loop (tasks/generation.py:435-442,511-518; HF T5Attention
+with past_key_value).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 40
+
+
+def _attn_math(q_ref, knew_ref, vnew_ref, kvgk_ref, kvgv_ref, bias_hist_ref,
+               bias_new_ref, kbuf, vbuf, t, num_heads: int):
+    """Attention on VMEM rows [C, Mc, F] with slot t-1 taken from kvg and
+    position t's k/v folded directly into the softmax (no cache write).
+    kbuf/vbuf must already contain the gathered history rows; slot t-1 is
+    read from the kvg refs (NOT from kbuf — insertion happens only for the
+    writeback copy). Returns [C, F] f32."""
+    C, F = q_ref.shape[1], q_ref.shape[2]
+    Mc = kbuf.shape[1]
+    H = num_heads
+    q32 = q_ref[0].astype(jnp.float32)               # [C, F]
+    head_of = jax.lax.broadcasted_iota(jnp.int32, (F, H), 0) // (F // H)
+    head_mask = (head_of == jax.lax.broadcasted_iota(jnp.int32, (F, H), 1))
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (Mc, 1), 0)
+    # history rows with slot t-1 overwritten by the gathered kv (the DMA'd
+    # row still holds the previous beam's stale slot t-1)
+    k_hist = jnp.where(slot[None] == t - 1, kvgk_ref[0][:, None, :],
+                       kbuf[...])                    # [C, Mc, F]
+    v_hist = jnp.where(slot[None] == t - 1, kvgv_ref[0][:, None, :],
+                       vbuf[...])
+
+    # Unlike the block-pipelined kernel (where compute hides under the
+    # operand DMAs), compute here is serialized after the manual row DMAs —
+    # so the big N-padded (12->128) mask dots run at the CACHE dtype (bf16
+    # in production: 4x the f32 MXU rate; products are rounded to bf16
+    # before the f32 accumulation, ~1e-3 relative, inside the decode path's
+    # bf16 tolerance — f32 models keep exact-parity f32 dots).
+    dot_dt = kbuf.dtype
+    hm_bf = head_mask.astype(dot_dt)
+    kq = (k_hist.astype(jnp.float32)
+          * q32[:, None, :]).reshape(C * Mc, F)
+    s_hist = jax.lax.dot(kq.astype(dot_dt), hm_bf,
+                         preferred_element_type=jnp.float32).reshape(C, Mc, H)
+    s_hist = s_hist + bias_hist_ref[...].astype(jnp.float32)[None]
+    s_new = jax.lax.dot(
+        (knew_ref[0].astype(jnp.float32) * q32).astype(dot_dt), hm_bf,
+        preferred_element_type=jnp.float32)                        # [C, H]
+    s_new = s_new + bias_new_ref[...].astype(jnp.float32)
+
+    scores = jnp.concatenate([s_hist, s_new[:, None, :]], axis=1)
+    probs = jax.nn.softmax(scores, axis=1)           # [C, Mc+1, H]
+    pe = jax.lax.dot(probs[:, :Mc].reshape(C * Mc, H).astype(dot_dt),
+                     hm_bf.T,
+                     preferred_element_type=jnp.float32).reshape(C, Mc, F)
+    out = (pe * v_hist.astype(jnp.float32)).sum(axis=1)
+    pn = jax.lax.dot(probs[:, Mc].astype(dot_dt), hm_bf.T,
+                     preferred_element_type=jnp.float32)           # [C, F]
+    return out + pn * vnew_ref[0].astype(jnp.float32)
+
+
+def _kernel(src_ref, lt_ref, q_ref, knew_ref, vnew_ref, kvgk_ref, kvgv_ref,
+            bias_hist_ref, bias_new_ref, cache_ref, dst_ref, cache_out_ref,
+            attn_ref, kbuf, vbuf, ksems, vsems, osems, *, num_heads: int,
+            write_back: bool, pipelined: bool):
+    """Grid cell body. ``pipelined``: double-buffer the row DMAs across grid
+    cells — cell i+1's gather reads are issued before cell i's compute, and
+    cell i's writeback is only waited when its buffer half is next reused —
+    so the DMA queues never drain. The interpret path (CPU tests) uses the
+    simple single-buffered schedule (cross-cell semaphore state is exact on
+    hardware but not modeled by the interpreter)."""
+    del dst_ref  # aliased to cache_out_ref's buffer
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nc = pl.num_programs(1)
+    l = lt_ref[0]
+    t = lt_ref[1]
+    Mc = kbuf.shape[2]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (Mc, 1), 0)
+    i = b * nc + c
+    cur = jax.lax.rem(i, 2)
+    nxt = 1 - cur
+
+    def issue_ins(b2, c2, s2):
+        for j in range(CHUNK):
+            row = src_ref[b2, c2 * CHUNK + j]
+            pltpu.make_async_copy(cache_ref.at[l, 0, b2, row],
+                                  kbuf.at[s2, j], ksems.at[s2, j]).start()
+            pltpu.make_async_copy(cache_ref.at[l, 1, b2, row],
+                                  vbuf.at[s2, j], vsems.at[s2, j]).start()
+
+    def wait_outs(s2):
+        # reconstructed descriptors: a DMA wait only consumes the semaphore
+        # by the transfer size, so same-shaped refs stand in for the
+        # originals issued in an earlier grid cell
+        for j in range(CHUNK):
+            pltpu.make_async_copy(kbuf.at[s2, j],
+                                  cache_out_ref.at[l, 0, b, c * CHUNK + j],
+                                  osems.at[0, s2, j]).wait()
+            pltpu.make_async_copy(vbuf.at[s2, j],
+                                  cache_out_ref.at[l, 1, b, c * CHUNK + j],
+                                  osems.at[1, s2, j]).wait()
+
+    if pipelined:
+        @pl.when(i == 0)
+        def _prologue():
+            issue_ins(b, c, cur)
+
+        if write_back:
+            @pl.when(i >= 1)
+            def _retire_prev_outs():   # cell i-1's writeback used slot nxt
+                wait_outs(nxt)
+
+        @pl.when(i + 1 < nb * nc)
+        def _prefetch_next():
+            wrap = c + 1 == nc
+            b2 = jnp.where(wrap, b + 1, b)
+            c2 = jnp.where(wrap, 0, c + 1)
+            issue_ins(b2, c2, nxt)
+    else:
+        issue_ins(b, c, cur)
+
+    for j in range(CHUNK):
+        pltpu.make_async_copy(cache_ref.at[l, 0, b, src_ref[b, c * CHUNK + j]],
+                              kbuf.at[cur, j], ksems.at[cur, j]).wait()
+        pltpu.make_async_copy(cache_ref.at[l, 1, b, src_ref[b, c * CHUNK + j]],
+                              vbuf.at[cur, j], vsems.at[cur, j]).wait()
+        if write_back:
+            # complete the deferred reorder: slot t-1 := gathered kv, then
+            # stream the ordered row out while later rows still arrive
+            kbuf[cur, j] = jnp.where(slot == t - 1, kvgk_ref[0, j][None, :],
+                                     kbuf[cur, j])
+            vbuf[cur, j] = jnp.where(slot == t - 1, kvgv_ref[0, j][None, :],
+                                     vbuf[cur, j])
+            pltpu.make_async_copy(kbuf.at[cur, j],
+                                  cache_out_ref.at[l, 0, b, c * CHUNK + j],
+                                  osems.at[0, cur, j]).start()
+            pltpu.make_async_copy(vbuf.at[cur, j],
+                                  cache_out_ref.at[l, 1, b, c * CHUNK + j],
+                                  osems.at[1, cur, j]).start()
+
+    out = _attn_math(q_ref, knew_ref, vnew_ref, kvgk_ref, kvgv_ref,
+                     bias_hist_ref, bias_new_ref, kbuf.at[cur], vbuf.at[cur],
+                     t, num_heads)
+    attn_ref[0] = out.astype(attn_ref.dtype)
+    if write_back:
+        if pipelined:
+            @pl.when(i + 1 >= nb * nc)   # epilogue: retire the final outs
+            def _retire_last_outs():
+                wait_outs(cur)
+        else:
+            wait_outs(cur)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "write_back", "interpret"))
+def step_attend_reorder(q, k_new, v_new, kvg_k, kvg_v, cache_src, cache_dst,
+                        src, layer, t, bias_hist, bias_new, num_heads: int,
+                        write_back: bool = True, interpret: bool = None):
+    """Fused gather + one-position cached self-attention + deferred-reorder
+    writeback for ONE decoder layer.
+
+    q/k_new/v_new: [B, N, F] position-t projections for CURRENT beams;
+    kvg_k/kvg_v: [B, N, F] step t-1's k/v permuted to current beam order;
+    cache_src: [L, 2, B, N, Mc, F] ordered for the previous step's beams
+    (slots [0, t-1) valid); cache_dst: ping-pong partner, receives rows
+    reordered by ``src`` [B, N] with slot t-1 inserted (aliased output);
+    bias_hist: [Mc, H] f32 with slots >= t masked; bias_new: [1, H].
+
+    Returns (attn [B, N, F], new_cache) — new_cache is cache_dst's buffer
+    (with write_back=False — the final step — no rows are written and the
+    returned cache holds stale data the caller must discard).
+    """
+    if interpret is None:  # CPU tests run the kernel in interpret mode
+        interpret = jax.default_backend() != "tpu"
+    B, N, F = q.shape
+    Mc = cache_src.shape[4]
+    assert cache_src.shape[2] == B and cache_src.shape[3] == N, cache_src.shape
+    assert src.shape == (B, N), src.shape
+    if N % CHUNK != 0:
+        pad = CHUNK - N % CHUNK
+        padded = step_attend_reorder(
+            jnp.pad(q, ((0, 0), (0, pad), (0, 0))),
+            jnp.pad(k_new, ((0, 0), (0, pad), (0, 0))),
+            jnp.pad(v_new, ((0, 0), (0, pad), (0, 0))),
+            jnp.pad(kvg_k, ((0, 0), (0, pad), (0, 0))),
+            jnp.pad(kvg_v, ((0, 0), (0, pad), (0, 0))),
+            jnp.pad(cache_src, ((0, 0),) * 3 + ((0, pad), (0, 0), (0, 0))),
+            jnp.pad(cache_dst, ((0, 0),) * 3 + ((0, pad), (0, 0), (0, 0))),
+            jnp.pad(src, ((0, 0), (0, pad))),
+            layer, t, bias_hist, bias_new, num_heads,
+            write_back=write_back, interpret=interpret)
+        attn, cache = padded
+        return attn[:, :N], cache[:, :, :, :N]
+
+    kernel = functools.partial(_kernel, num_heads=num_heads,
+                               write_back=write_back,
+                               pipelined=not interpret)
+    lt = jnp.stack([jnp.asarray(layer, jnp.int32),
+                    jnp.asarray(t, jnp.int32)]).reshape(2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, N // CHUNK),
+        in_specs=[
+            pl.BlockSpec((1, CHUNK, F), lambda b, c, s, lt_: (b, c, 0)),
+            pl.BlockSpec((1, CHUNK, F), lambda b, c, s, lt_: (b, c, 0)),
+            pl.BlockSpec((1, CHUNK, F), lambda b, c, s, lt_: (b, c, 0)),
+            pl.BlockSpec((1, CHUNK, F), lambda b, c, s, lt_: (b, c, 0)),
+            pl.BlockSpec((1, CHUNK, F), lambda b, c, s, lt_: (b, c, 0)),
+            pl.BlockSpec((Mc, num_heads), lambda b, c, s, lt_: (0, 0)),
+            pl.BlockSpec((1, num_heads), lambda b, c, s, lt_: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, CHUNK, F), lambda b, c, s, lt_: (b, c, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK, Mc, F), cache_src.dtype),
+            pltpu.VMEM((2, CHUNK, Mc, F), cache_src.dtype),
+            pltpu.SemaphoreType.DMA((2, CHUNK)),
+            pltpu.SemaphoreType.DMA((2, CHUNK)),
+            pltpu.SemaphoreType.DMA((2, 2, CHUNK)),
+        ],
+    )
+    new_cache, attn = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct(cache_src.shape, cache_src.dtype),
+            jax.ShapeDtypeStruct((B, N, F), q.dtype),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        # operand index counts the scalar-prefetch args: (src, lt, q, k_new,
+        # v_new, kvg_k, kvg_v, bias_hist, bias_new, cache_src, cache_dst=10)
+        input_output_aliases={10: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(src, lt, q, k_new, v_new, kvg_k, kvg_v, bias_hist, bias_new,
+      cache_src, cache_dst)
+    return attn, new_cache

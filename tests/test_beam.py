@@ -122,6 +122,28 @@ def test_expand_groups_to_docids():
         assert 0 <= d < 40
 
 
+def test_deferred_reorder_matches_xla_path():
+    """The fused gather-attend-writeback path (deferred beam reorder,
+    ops/attend_reorder.py in interpret mode) must reproduce the XLA path's
+    scores/codes exactly."""
+    from ripor_tpu.decode.beam import make_beam_search_fn
+    from ripor_tpu.trie.succinct import succinct_tables
+
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=6, K=8, n_docs=40)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+    ref_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                                 use_pallas_gather=False, deferred=False)
+    def_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                                 use_pallas_gather=False, deferred=True,
+                                 cache_segments=3)  # spans 2/2/2
+    s0, c0, st0 = ref_fn(params, ids, mask, tables)
+    s1, c1, st1 = def_fn(params, ids, mask, tables)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
+
+
 def test_unconstrained_beam_search_runs():
     cfg, model, params, ids, mask, doc_codes, trie = setup(M=4, K=8)
     out = beam_search(cfg, params, np.asarray(ids), np.asarray(mask),

@@ -66,25 +66,32 @@ def main():
     tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
 
     import ripor_tpu.models.t5 as t5_mod
+    import ripor_tpu.ops.attend_reorder as ar_mod
     import ripor_tpu.ops.step_attention as sa_mod
     real_attn = sa_mod.step_attention_fused
     real_kernel = sa_mod._fused_kernel
     real_reorder = beam_mod._reorder_cache
     real_topk = jax.lax.top_k
+    real_sar = ar_mod.step_attend_reorder
+    real_chunk = ar_mod.CHUNK
 
     def run_variant(name, constrained=True, segments=4, attn=None,
-                    reorder=None, topk=None, kernel=None):
+                    reorder=None, topk=None, kernel=None, sar=None,
+                    chunk=None, deferred=None):
         sa_mod.step_attention_fused = attn or real_attn
         t5_mod.step_attention_fused = attn or real_attn  # if imported there
         beam_mod._reorder_cache = reorder or real_reorder
         sa_mod._fused_kernel = kernel or real_kernel
+        ar_mod.step_attend_reorder = sar or real_sar
+        ar_mod.CHUNK = chunk or real_chunk
         if topk is not None:
             jax.lax.top_k = topk
         jax.clear_caches()  # step_attention_fused is @jit: force a retrace
         try:
             fn = beam_mod.make_beam_search_fn(
                 cfg, num_beams, constrained=constrained,
-                dtype=jnp.bfloat16, cache_segments=segments)
+                dtype=jnp.bfloat16, cache_segments=segments,
+                deferred=deferred)
             t0 = time.time()
             s, c, st = fn(params, ids, mask, tables)
             np.asarray(s)
@@ -104,6 +111,8 @@ def main():
             t5_mod.step_attention_fused = real_attn
             beam_mod._reorder_cache = real_reorder
             sa_mod._fused_kernel = real_kernel
+            ar_mod.step_attend_reorder = real_sar
+            ar_mod.CHUNK = real_chunk
             jax.lax.top_k = real_topk
 
     def fake_attn(q, k_new, v_new, cache, layer, bias_hist, bias_new,
@@ -151,6 +160,18 @@ def main():
         out_ref[0] = (q32 + probs.sum(axis=(1, 2))[:, None] * 1e-6
                       + red * 1e-6).astype(out_ref.dtype)
 
+    def fake_sar(q, k_new, v_new, kvg_k, kvg_v, cache_src, cache_dst, src,
+                 layer, t, bias_hist, bias_new, num_heads, write_back=True,
+                 interpret=None):
+        return q, cache_dst
+
+    def no_writeback_sar(q, k_new, v_new, kvg_k, kvg_v, cache_src, cache_dst,
+                         src, layer, t, bias_hist, bias_new, num_heads,
+                         write_back=True, interpret=None):
+        return real_sar(q, k_new, v_new, kvg_k, kvg_v, cache_src, cache_dst,
+                        src, layer, t, bias_hist, bias_new, num_heads,
+                        write_back=False, interpret=interpret)
+
     variants = [
         ("full", dict()),
         ("unconstrained", dict(constrained=False)),
@@ -160,6 +181,12 @@ def main():
         ("one_segment", dict(segments=1)),
         ("attn_dma_only", dict(kernel=dma_only_kernel)),
         ("attn_scores_only", dict(kernel=scores_only_kernel)),
+        ("def_no_kernel", dict(sar=fake_sar)),
+        ("def_no_writeback", dict(sar=no_writeback_sar)),
+        ("def_chunk20", dict(chunk=20)),
+        ("def_chunk50", dict(chunk=50)),
+        ("def_chunk100", dict(chunk=100)),
+        ("non_deferred", dict(deferred=False)),
     ]
     results = {}
     for name, kw in variants:
