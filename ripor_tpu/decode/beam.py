@@ -227,7 +227,7 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             """Step with the reorder deferred into the attention kernel:
             reads ``ca`` through ``src_prev``, writes the reordered rows
             (slot t-1 completed from ``kvg``) into ``cb``. Returns the new
-            pending (src, kvg) for the NEXT step."""
+            pending (src, kvg [L, B, N, 2F]) for the NEXT step."""
             from ripor_tpu.ops.beam_gather import beam_gather_rows
             logits, new_cache, kv_new = model.apply(
                 {"params": params}, tokens, ca, cb, src_prev, kvg,
@@ -236,9 +236,9 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             new_scores, new_state, tok, codes, src = select(
                 beam_scores, state, codes, logits, t)
             if write_back:
-                L2 = kv_new.shape[0] * kv_new.shape[1]
-                flat = kv_new.reshape(L2 * B, N, kv_new.shape[-1])
-                src_rep = jnp.tile(src, (L2, 1))
+                L = kv_new.shape[0]
+                flat = kv_new.reshape(L * B, N, kv_new.shape[-1])
+                src_rep = jnp.tile(src, (L, 1))
                 kvg = beam_gather_rows(flat, src_rep).reshape(kv_new.shape)
             return new_scores, new_state, tok, codes, new_cache, src, kvg
 
@@ -261,12 +261,16 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
 
         if deferred:
             # carry the PENDING reorder: src_prev (current beam -> previous
-            # row) and kvg (step t-1's k/v permuted to current beam order);
+            # row) and kvg (step t-1's K|V permuted to current beam order);
             # the attention kernel completes it while reading (two cache
-            # passes/step instead of three, all at parallel-DMA bandwidth)
+            # passes/step instead of three, all at parallel-DMA bandwidth).
+            # The deferred cache is K|V-MERGED: [L, B, N, Mc, 2F].
+            cache = model.apply({"params": params}, B, N, bufs[0],
+                                method=lambda m, b_, n_, l_:
+                                m.decoder.init_cache_merged(b_, n_, l_))
             src_prev = jnp.broadcast_to(
                 jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
-            kvg = jnp.zeros(cache.shape[:4] + (cache.shape[5],), cache.dtype)
+            kvg = jnp.zeros(cache.shape[:3] + (cache.shape[4],), cache.dtype)
             cb = jnp.zeros_like(cache)
 
             def pair_deferred(carry, ts):
@@ -300,7 +304,7 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                                               kvg, hi - 1, write_back=False)
                 elif s + 1 < seg:
                     grow = bufs[s + 1] - bufs[s]
-                    pad = [(0, 0)] * 4 + [(0, grow), (0, 0)]
+                    pad = [(0, 0)] * 3 + [(0, grow), (0, 0)]  # Mc axis of 5-D
                     cache = jnp.pad(cache, pad)
                     cb = jnp.pad(cb, pad)
                 lo = hi

@@ -272,6 +272,15 @@ class Decoder(nn.Module):
                                   enc_k, enc_v, enc_bias, bias_row)
         return self.final_norm(x), cache, None
 
+    def init_cache_merged(self, batch: int, num_beams: int,
+                          max_len: int) -> jnp.ndarray:
+        """K|V-merged cache [L, B, N, Mc, 2*H*D] for the deferred decode
+        path: one row carries a beam's keys AND values so the gather moves
+        it with a single DMA (ops/attend_reorder.py layout contract)."""
+        cfg = self.cfg
+        return jnp.zeros((cfg.num_decoder_layers, batch, num_beams,
+                          max_len, 2 * cfg.inner_dim), self.dtype)
+
     def decode_step_deferred(self, x, cache_src, cache_dst, src, kvg,
                              cross_kv: CrossKV, enc_bias, self_bias_full, t,
                              write_back: bool = True):
@@ -285,15 +294,15 @@ class Decoder(nn.Module):
         parallel-DMA bandwidth.
 
         x: [B, N, d] position-t input embeds (current beams);
-        cache_src/cache_dst: [L, 2, B, N, Mc, F] ping-pong pair;
-        src: [B, N] int32; kvg: [L, 2, B, N, F].
-        Returns (hidden, new_cache, kv_new [L, 2, B, N, F]); new_cache is
-        cache_dst's buffer (cache_src when write_back=False).
+        cache_src/cache_dst: [L, B, N, Mc, 2F] K|V-merged ping-pong pair
+        (init_cache_merged); src: [B, N] int32; kvg: [L, B, N, 2F].
+        Returns (hidden, new_cache, kv_new [L, B, N, 2F]); new_cache is
+        cache_dst's buffer (stale when write_back=False).
         """
         from ripor_tpu.ops.attend_reorder import step_attend_reorder
         cfg = self.cfg
         B, N = x.shape[:2]
-        cache_len = cache_src.shape[4]
+        cache_len = cache_src.shape[3]
         bias_row = jax.lax.dynamic_index_in_dim(self_bias_full, t, axis=1,
                                                 keepdims=False)[:, :cache_len]
         key_pos = jnp.arange(cache_len)
@@ -301,22 +310,19 @@ class Decoder(nn.Module):
                      + jnp.where(key_pos < t, 0.0, NEG_INF)[None, :]).T
         bias_new = jax.lax.dynamic_index_in_dim(
             bias_row, t, axis=1, keepdims=False)[None, :]    # [1, H]
-        knews, vnews = [], []
+        kvnews = []
         cache = cache_dst
         for l, (layer, (enc_k, enc_v)) in enumerate(zip(self.layers, cross_kv)):
             q, k, v = layer.step_qkv(x)
             qf = q.reshape(B, N, -1)
-            kf = k.reshape(B, N, -1)
-            vf = v.reshape(B, N, -1)
+            kvf = jnp.concatenate([k.reshape(B, N, -1),
+                                   v.reshape(B, N, -1)], axis=-1)
             attn, cache = step_attend_reorder(
-                qf, kf, vf, kvg[l, 0], kvg[l, 1], cache_src, cache, src,
-                l, t, bias_hist, bias_new, cfg.num_heads,
-                write_back=write_back)
+                qf, kvf, kvg[l], cache_src, cache, src, l, t,
+                bias_hist, bias_new, cfg.num_heads, write_back=write_back)
             x = layer.step_finish_with_attn(x, attn, enc_k, enc_v, enc_bias)
-            knews.append(kf)
-            vnews.append(vf)
-        kv = jnp.stack([jnp.stack(knews), jnp.stack(vnews)], axis=1)
-        return self.final_norm(x), cache, kv
+            kvnews.append(kvf)
+        return self.final_norm(x), cache, jnp.stack(kvnews)
 
     def _decode_step_pallas(self, x, cache, cross_kv, enc_bias, bias_row,
                             key_pos, t):

@@ -9,20 +9,27 @@ one step and folding it into the next step's attention:
 
   invariant at step t: ``cache_src`` holds slots [0, t-1) physically
   ordered for the PREVIOUS step's beams; ``src`` maps current beams to
-  previous rows; ``kvg_k/kvg_v`` hold step t-1's k/v already permuted to
-  current beam order.
+  previous rows; ``kvg`` holds step t-1's k/v already permuted to current
+  beam order.
 
   per (layer, chunk) grid cell:
-    1. parallel row DMAs: cache_src[l, {K,V}, b, src[n]] -> VMEM buffers
+    1. parallel row DMAs: cache_src[l, b, src[n]] -> VMEM buffer
     2. insert kvg at slot t-1 (one writer; completes the reorder one step
        late), start writeback DMAs of the now-ordered rows into cache_dst
     3. attention math on the VMEM rows + position-t k/v folded directly
        into the softmax (same formulation as step_attention._fused_kernel)
 
 so the separate beam_gather_update pass disappears entirely and the
-attention read runs at parallel-DMA bandwidth. ``cache_dst`` is the
-ping-pong partner buffer (aliased to the output) exactly as in
-ops/beam_gather.py::beam_gather_update.
+attention read runs at parallel-DMA bandwidth. Row DMAs are double-buffered
+across grid cells (cell i+1's reads are issued before cell i's compute,
+cell i's writeback retired when its buffer half is next reused) so the DMA
+queues never drain. ``cache_dst`` is the ping-pong partner buffer (aliased
+to the output) exactly as in ops/beam_gather.py::beam_gather_update.
+
+Cache layout here is K|V-MERGED: [L, B, N, Mc, 2F] with K in columns
+[0, F) and V in [F, 2F) — one DMA moves a beam row's keys AND values
+(the gather is DMA-descriptor-issue bound, so halving the descriptor
+count buys bandwidth; 2F = 1536 lanes still tile exactly).
 
 Reference analogue: the decoder self-attention step + _reorder_cache pair
 inside the beam loop (tasks/generation.py:435-442,511-518; HF T5Attention
@@ -40,27 +47,25 @@ from jax.experimental.pallas import tpu as pltpu
 CHUNK = 40
 
 
-def _attn_math(q_ref, knew_ref, vnew_ref, kvgk_ref, kvgv_ref, bias_hist_ref,
-               bias_new_ref, kbuf, vbuf, t, num_heads: int):
-    """Attention on VMEM rows [C, Mc, F] with slot t-1 taken from kvg and
-    position t's k/v folded directly into the softmax (no cache write).
-    kbuf/vbuf must already contain the gathered history rows; slot t-1 is
-    read from the kvg refs (NOT from kbuf — insertion happens only for the
-    writeback copy). Returns [C, F] f32."""
+def _attn_math(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
+               buf, t, num_heads: int):
+    """Attention on VMEM rows [C, Mc, 2F] (K|V merged) with slot t-1 taken
+    from kvg and position t's k/v folded directly into the softmax.
+    Returns [C, F] f32."""
     C, F = q_ref.shape[1], q_ref.shape[2]
-    Mc = kbuf.shape[1]
+    Mc = buf.shape[1]
     H = num_heads
     q32 = q_ref[0].astype(jnp.float32)               # [C, F]
     head_of = jax.lax.broadcasted_iota(jnp.int32, (F, H), 0) // (F // H)
     head_mask = (head_of == jax.lax.broadcasted_iota(jnp.int32, (F, H), 1))
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (Mc, 1), 0)
+    rows = buf[...]                                  # [C, Mc, 2F]
     # history rows with slot t-1 overwritten by the gathered kv (the DMA'd
     # row still holds the previous beam's stale slot t-1)
-    k_hist = jnp.where(slot[None] == t - 1, kvgk_ref[0][:, None, :],
-                       kbuf[...])                    # [C, Mc, F]
-    v_hist = jnp.where(slot[None] == t - 1, kvgv_ref[0][:, None, :],
-                       vbuf[...])
+    rows = jnp.where(slot[None] == t - 1, kvg_ref[0][:, None, :], rows)
+    k_hist = rows[:, :, :F]
+    v_hist = rows[:, :, F:]
 
     # Unlike the block-pipelined kernel (where compute hides under the
     # operand DMAs), compute here is serialized after the manual row DMAs —
@@ -68,33 +73,33 @@ def _attn_math(q_ref, knew_ref, vnew_ref, kvgk_ref, kvgv_ref, bias_hist_ref,
     # in production: 4x the f32 MXU rate; products are rounded to bf16
     # before the f32 accumulation, ~1e-3 relative, inside the decode path's
     # bf16 tolerance — f32 models keep exact-parity f32 dots).
-    dot_dt = kbuf.dtype
-    hm_bf = head_mask.astype(dot_dt)
+    dot_dt = buf.dtype
+    hm = head_mask.astype(dot_dt)
     kq = (k_hist.astype(jnp.float32)
           * q32[:, None, :]).reshape(C * Mc, F)
-    s_hist = jax.lax.dot(kq.astype(dot_dt), hm_bf,
+    s_hist = jax.lax.dot(kq.astype(dot_dt), hm,
                          preferred_element_type=jnp.float32).reshape(C, Mc, H)
     s_hist = s_hist + bias_hist_ref[...].astype(jnp.float32)[None]
-    s_new = jax.lax.dot(
-        (knew_ref[0].astype(jnp.float32) * q32).astype(dot_dt), hm_bf,
-        preferred_element_type=jnp.float32)                        # [C, H]
+    k_new = kvnew_ref[0][:, :F]
+    v_new = kvnew_ref[0][:, F:]
+    s_new = jax.lax.dot((k_new.astype(jnp.float32) * q32).astype(dot_dt), hm,
+                        preferred_element_type=jnp.float32)        # [C, H]
     s_new = s_new + bias_new_ref[...].astype(jnp.float32)
 
     scores = jnp.concatenate([s_hist, s_new[:, None, :]], axis=1)
     probs = jax.nn.softmax(scores, axis=1)           # [C, Mc+1, H]
-    pe = jax.lax.dot(probs[:, :Mc].reshape(C * Mc, H).astype(dot_dt),
-                     hm_bf.T,
+    pe = jax.lax.dot(probs[:, :Mc].reshape(C * Mc, H).astype(dot_dt), hm.T,
                      preferred_element_type=jnp.float32).reshape(C, Mc, F)
     out = (pe * v_hist.astype(jnp.float32)).sum(axis=1)
-    pn = jax.lax.dot(probs[:, Mc].astype(dot_dt), hm_bf.T,
+    pn = jax.lax.dot(probs[:, Mc].astype(dot_dt), hm.T,
                      preferred_element_type=jnp.float32)           # [C, F]
-    return out + pn * vnew_ref[0].astype(jnp.float32)
+    return out + pn * v_new.astype(jnp.float32)
 
 
-def _kernel(src_ref, lt_ref, q_ref, knew_ref, vnew_ref, kvgk_ref, kvgv_ref,
-            bias_hist_ref, bias_new_ref, cache_ref, dst_ref, cache_out_ref,
-            attn_ref, kbuf, vbuf, ksems, vsems, osems, *, num_heads: int,
-            write_back: bool, pipelined: bool):
+def _kernel(src_ref, lt_ref, q_ref, kvnew_ref, kvg_ref, bias_hist_ref,
+            bias_new_ref, cache_ref, dst_ref, cache_out_ref, attn_ref,
+            buf, isems, osems, *, num_heads: int, write_back: bool,
+            pipelined: bool):
     """Grid cell body. ``pipelined``: double-buffer the row DMAs across grid
     cells — cell i+1's gather reads are issued before cell i's compute, and
     cell i's writeback is only waited when its buffer half is next reused —
@@ -108,7 +113,7 @@ def _kernel(src_ref, lt_ref, q_ref, knew_ref, vnew_ref, kvgk_ref, kvgv_ref,
     nc = pl.num_programs(1)
     l = lt_ref[0]
     t = lt_ref[1]
-    Mc = kbuf.shape[2]
+    Mc = buf.shape[2]
     slot = jax.lax.broadcasted_iota(jnp.int32, (Mc, 1), 0)
     i = b * nc + c
     cur = jax.lax.rem(i, 2)
@@ -117,22 +122,17 @@ def _kernel(src_ref, lt_ref, q_ref, knew_ref, vnew_ref, kvgk_ref, kvgv_ref,
     def issue_ins(b2, c2, s2):
         for j in range(CHUNK):
             row = src_ref[b2, c2 * CHUNK + j]
-            pltpu.make_async_copy(cache_ref.at[l, 0, b2, row],
-                                  kbuf.at[s2, j], ksems.at[s2, j]).start()
-            pltpu.make_async_copy(cache_ref.at[l, 1, b2, row],
-                                  vbuf.at[s2, j], vsems.at[s2, j]).start()
+            pltpu.make_async_copy(cache_ref.at[l, b2, row],
+                                  buf.at[s2, j], isems.at[s2, j]).start()
 
     def wait_outs(s2):
         # reconstructed descriptors: a DMA wait only consumes the semaphore
         # by the transfer size, so same-shaped refs stand in for the
         # originals issued in an earlier grid cell
         for j in range(CHUNK):
-            pltpu.make_async_copy(kbuf.at[s2, j],
-                                  cache_out_ref.at[l, 0, b, c * CHUNK + j],
-                                  osems.at[0, s2, j]).wait()
-            pltpu.make_async_copy(vbuf.at[s2, j],
-                                  cache_out_ref.at[l, 1, b, c * CHUNK + j],
-                                  osems.at[1, s2, j]).wait()
+            pltpu.make_async_copy(buf.at[s2, j],
+                                  cache_out_ref.at[l, b, c * CHUNK + j],
+                                  osems.at[s2, j]).wait()
 
     if pipelined:
         @pl.when(i == 0)
@@ -154,27 +154,19 @@ def _kernel(src_ref, lt_ref, q_ref, knew_ref, vnew_ref, kvgk_ref, kvgv_ref,
         issue_ins(b, c, cur)
 
     for j in range(CHUNK):
-        pltpu.make_async_copy(cache_ref.at[l, 0, b, src_ref[b, c * CHUNK + j]],
-                              kbuf.at[cur, j], ksems.at[cur, j]).wait()
-        pltpu.make_async_copy(cache_ref.at[l, 1, b, src_ref[b, c * CHUNK + j]],
-                              vbuf.at[cur, j], vsems.at[cur, j]).wait()
+        pltpu.make_async_copy(cache_ref.at[l, b, src_ref[b, c * CHUNK + j]],
+                              buf.at[cur, j], isems.at[cur, j]).wait()
         if write_back:
             # complete the deferred reorder: slot t-1 := gathered kv, then
             # stream the ordered row out while later rows still arrive
-            kbuf[cur, j] = jnp.where(slot == t - 1, kvgk_ref[0, j][None, :],
-                                     kbuf[cur, j])
-            vbuf[cur, j] = jnp.where(slot == t - 1, kvgv_ref[0, j][None, :],
-                                     vbuf[cur, j])
-            pltpu.make_async_copy(kbuf.at[cur, j],
-                                  cache_out_ref.at[l, 0, b, c * CHUNK + j],
-                                  osems.at[0, cur, j]).start()
-            pltpu.make_async_copy(vbuf.at[cur, j],
-                                  cache_out_ref.at[l, 1, b, c * CHUNK + j],
-                                  osems.at[1, cur, j]).start()
+            buf[cur, j] = jnp.where(slot == t - 1, kvg_ref[0, j][None, :],
+                                    buf[cur, j])
+            pltpu.make_async_copy(buf.at[cur, j],
+                                  cache_out_ref.at[l, b, c * CHUNK + j],
+                                  osems.at[cur, j]).start()
 
-    out = _attn_math(q_ref, knew_ref, vnew_ref, kvgk_ref, kvgv_ref,
-                     bias_hist_ref, bias_new_ref, kbuf.at[cur], vbuf.at[cur],
-                     t, num_heads)
+    out = _attn_math(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
+                     buf.at[cur], t, num_heads)
     attn_ref[0] = out.astype(attn_ref.dtype)
     if write_back:
         if pipelined:
@@ -187,15 +179,15 @@ def _kernel(src_ref, lt_ref, q_ref, knew_ref, vnew_ref, kvgk_ref, kvgv_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "write_back", "interpret"))
-def step_attend_reorder(q, k_new, v_new, kvg_k, kvg_v, cache_src, cache_dst,
-                        src, layer, t, bias_hist, bias_new, num_heads: int,
+def step_attend_reorder(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
+                        bias_hist, bias_new, num_heads: int,
                         write_back: bool = True, interpret: bool = None):
     """Fused gather + one-position cached self-attention + deferred-reorder
-    writeback for ONE decoder layer.
+    writeback for ONE decoder layer over the K|V-merged cache.
 
-    q/k_new/v_new: [B, N, F] position-t projections for CURRENT beams;
-    kvg_k/kvg_v: [B, N, F] step t-1's k/v permuted to current beam order;
-    cache_src: [L, 2, B, N, Mc, F] ordered for the previous step's beams
+    q: [B, N, F]; kv_new: [B, N, 2F] position-t K|V for CURRENT beams;
+    kvg: [B, N, 2F] step t-1's K|V permuted to current beam order;
+    cache_src: [L, B, N, Mc, 2F] ordered for the previous step's beams
     (slots [0, t-1) valid); cache_dst: ping-pong partner, receives rows
     reordered by ``src`` [B, N] with slot t-1 inserted (aliased output);
     bias_hist: [Mc, H] f32 with slots >= t masked; bias_new: [1, H].
@@ -207,24 +199,25 @@ def step_attend_reorder(q, k_new, v_new, kvg_k, kvg_v, cache_src, cache_dst,
     if interpret is None:  # CPU tests run the kernel in interpret mode
         interpret = jax.default_backend() != "tpu"
     B, N, F = q.shape
-    Mc = cache_src.shape[4]
-    assert cache_src.shape[2] == B and cache_src.shape[3] == N, cache_src.shape
+    Mc = cache_src.shape[3]
+    assert cache_src.shape[1] == B and cache_src.shape[2] == N, cache_src.shape
+    assert cache_src.shape[4] == 2 * F, cache_src.shape
+    assert kv_new.shape == (B, N, 2 * F), kv_new.shape
+    assert kvg.shape == (B, N, 2 * F), kvg.shape
     assert src.shape == (B, N), src.shape
     if N % CHUNK != 0:
         pad = CHUNK - N % CHUNK
         padded = step_attend_reorder(
             jnp.pad(q, ((0, 0), (0, pad), (0, 0))),
-            jnp.pad(k_new, ((0, 0), (0, pad), (0, 0))),
-            jnp.pad(v_new, ((0, 0), (0, pad), (0, 0))),
-            jnp.pad(kvg_k, ((0, 0), (0, pad), (0, 0))),
-            jnp.pad(kvg_v, ((0, 0), (0, pad), (0, 0))),
-            jnp.pad(cache_src, ((0, 0),) * 3 + ((0, pad), (0, 0), (0, 0))),
-            jnp.pad(cache_dst, ((0, 0),) * 3 + ((0, pad), (0, 0), (0, 0))),
+            jnp.pad(kv_new, ((0, 0), (0, pad), (0, 0))),
+            jnp.pad(kvg, ((0, 0), (0, pad), (0, 0))),
+            jnp.pad(cache_src, ((0, 0),) * 2 + ((0, pad), (0, 0), (0, 0))),
+            jnp.pad(cache_dst, ((0, 0),) * 2 + ((0, pad), (0, 0), (0, 0))),
             jnp.pad(src, ((0, 0), (0, pad))),
             layer, t, bias_hist, bias_new, num_heads,
             write_back=write_back, interpret=interpret)
         attn, cache = padded
-        return attn[:, :N], cache[:, :, :, :N]
+        return attn[:, :N], cache[:, :, :N]
 
     kernel = functools.partial(_kernel, num_heads=num_heads,
                                write_back=write_back,
@@ -236,10 +229,8 @@ def step_attend_reorder(q, k_new, v_new, kvg_k, kvg_v, cache_src, cache_dst,
         grid=(B, N // CHUNK),
         in_specs=[
             pl.BlockSpec((1, CHUNK, F), lambda b, c, s, lt_: (b, c, 0)),
-            pl.BlockSpec((1, CHUNK, F), lambda b, c, s, lt_: (b, c, 0)),
-            pl.BlockSpec((1, CHUNK, F), lambda b, c, s, lt_: (b, c, 0)),
-            pl.BlockSpec((1, CHUNK, F), lambda b, c, s, lt_: (b, c, 0)),
-            pl.BlockSpec((1, CHUNK, F), lambda b, c, s, lt_: (b, c, 0)),
+            pl.BlockSpec((1, CHUNK, 2 * F), lambda b, c, s, lt_: (b, c, 0)),
+            pl.BlockSpec((1, CHUNK, 2 * F), lambda b, c, s, lt_: (b, c, 0)),
             pl.BlockSpec((Mc, num_heads), lambda b, c, s, lt_: (0, 0)),
             pl.BlockSpec((1, num_heads), lambda b, c, s, lt_: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -250,11 +241,9 @@ def step_attend_reorder(q, k_new, v_new, kvg_k, kvg_v, cache_src, cache_dst,
             pl.BlockSpec((1, CHUNK, F), lambda b, c, s, lt_: (b, c, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, Mc, F), cache_src.dtype),
-            pltpu.VMEM((2, CHUNK, Mc, F), cache_src.dtype),
+            pltpu.VMEM((2, CHUNK, Mc, 2 * F), cache_src.dtype),
             pltpu.SemaphoreType.DMA((2, CHUNK)),
             pltpu.SemaphoreType.DMA((2, CHUNK)),
-            pltpu.SemaphoreType.DMA((2, 2, CHUNK)),
         ],
     )
     new_cache, attn = pl.pallas_call(
@@ -265,10 +254,9 @@ def step_attend_reorder(q, k_new, v_new, kvg_k, kvg_v, cache_src, cache_dst,
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-        # operand index counts the scalar-prefetch args: (src, lt, q, k_new,
-        # v_new, kvg_k, kvg_v, bias_hist, bias_new, cache_src, cache_dst=10)
-        input_output_aliases={10: 0},
+        # operand index counts the scalar-prefetch args: (src, lt, q,
+        # kv_new, kvg, bias_hist, bias_new, cache_src, cache_dst=8)
+        input_output_aliases={8: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(src, lt, q, k_new, v_new, kvg_k, kvg_v, bias_hist, bias_new,
-      cache_src, cache_dst)
+    )(src, lt, q, kv_new, kvg, bias_hist, bias_new, cache_src, cache_dst)
     return attn, new_cache

@@ -160,16 +160,16 @@ def main():
         out_ref[0] = (q32 + probs.sum(axis=(1, 2))[:, None] * 1e-6
                       + red * 1e-6).astype(out_ref.dtype)
 
-    def fake_sar(q, k_new, v_new, kvg_k, kvg_v, cache_src, cache_dst, src,
-                 layer, t, bias_hist, bias_new, num_heads, write_back=True,
+    def fake_sar(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
+                 bias_hist, bias_new, num_heads, write_back=True,
                  interpret=None):
         return q, cache_dst
 
-    def no_writeback_sar(q, k_new, v_new, kvg_k, kvg_v, cache_src, cache_dst,
-                         src, layer, t, bias_hist, bias_new, num_heads,
-                         write_back=True, interpret=None):
-        return real_sar(q, k_new, v_new, kvg_k, kvg_v, cache_src, cache_dst,
-                        src, layer, t, bias_hist, bias_new, num_heads,
+    def no_writeback_sar(q, kv_new, kvg, cache_src, cache_dst, src, layer,
+                         t, bias_hist, bias_new, num_heads, write_back=True,
+                         interpret=None):
+        return real_sar(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
+                        bias_hist, bias_new, num_heads,
                         write_back=False, interpret=interpret)
 
     variants = [
