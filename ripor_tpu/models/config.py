@@ -80,6 +80,9 @@ class RiporConfig:
     K: int = 256               # codes per codebook (decoder_vocab_sizes[i])
     shared_output_input_embeds: bool = True
     apply_log_softmax: bool = False  # reference defaults to raw IP scores (generation.py:453-458)
+    # scale decoder hidden by d_model**-0.5 before the lm head (reference
+    # ``scaleup_output_hidden``, t5_generative_retriever.py:53,427-428)
+    scaleup_output_hidden: bool = False
 
     @property
     def max_decode_len(self) -> int:

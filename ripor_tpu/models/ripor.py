@@ -141,9 +141,19 @@ class RiporModel(nn.Module):
         return self.decode_train(enc, attention_mask, codes,
                                  deterministic=deterministic)
 
+    def _maybe_scale(self, hidden):
+        """Optional hidden-state scaling before the lm head (reference
+        ``scaleup_output_hidden``: sequence_output * d_model**-0.5,
+        t5_generative_retriever.py:427-428 — applied to every consumer of
+        the decoder output, matching the reference's placement)."""
+        if self.cfg.scaleup_output_hidden:
+            return hidden * (self.cfg.t5.d_model ** -0.5)
+        return hidden
+
     def decode_train(self, enc, enc_mask, codes, deterministic: bool = True):
         dec_in = self.decoder_inputs_from_codes(codes)
-        return self.decoder(dec_in, enc, enc_mask, deterministic=deterministic)
+        return self._maybe_scale(
+            self.decoder(dec_in, enc, enc_mask, deterministic=deterministic))
 
     def forward_logits(self, input_ids, attention_mask, codes,
                        deterministic: bool = True):
@@ -221,6 +231,7 @@ class RiporModel(nn.Module):
         x = jnp.where(t == 0, start, tok_embed)
         hidden, new_cache, kv_new = self.decoder.decode_step(
             x, cache, cross_kv, enc_bias, self_bias, t)
+        hidden = self._maybe_scale(hidden)
         logits = jnp.einsum("bnd,kd->bnk", hidden, self._out_books()[t],
                             preferred_element_type=jnp.float32)
         if self.cfg.apply_log_softmax:
@@ -245,6 +256,7 @@ class RiporModel(nn.Module):
         hidden, new_cache, kv_new = self.decoder.decode_step_deferred(
             x, cache_src, cache_dst, src, kvg, cross_kv, enc_bias,
             self_bias, t, write_back=write_back)
+        hidden = self._maybe_scale(hidden)
         logits = jnp.einsum("bnd,kd->bnk", hidden, self._out_books()[t],
                             preferred_element_type=jnp.float32)
         if self.cfg.apply_log_softmax:

@@ -38,13 +38,15 @@ with past_key_value).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 40
+# rows per grid cell (DMAs in flight per direction); env override for tuning
+CHUNK = int(os.environ.get("RIPOR_AR_CHUNK", "40"))
 
 
 def _attn_math(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,

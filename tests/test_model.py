@@ -104,3 +104,19 @@ def test_dense_rep_shapes():
     rep2 = model.apply({"params": params}, ids, mask, codes[:, :4],
                        method=RiporModel.dense_rep)
     assert rep2.shape == (2, cfg.t5.d_model)
+
+
+def test_scaleup_output_hidden_scales_logits():
+    """scaleup_output_hidden multiplies the decoder output by d_model**-0.5
+    before the lm head (reference t5_generative_retriever.py:427-428)."""
+    import dataclasses
+    cfg, model, params, ids, mask, codes = make_model()
+    cfg_s = dataclasses.replace(cfg, scaleup_output_hidden=True)
+    model_s = RiporModel(cfg_s)
+    base = model.apply({"params": params}, ids, mask, codes,
+                       method=RiporModel.forward_logits)
+    scaled = model_s.apply({"params": params}, ids, mask, codes,
+                           method=RiporModel.forward_logits)
+    np.testing.assert_allclose(np.asarray(scaled),
+                               np.asarray(base) * cfg.t5.d_model ** -0.5,
+                               rtol=1e-6, atol=1e-6)
