@@ -121,11 +121,20 @@ def _kernel(src_ref, lt_ref, q_ref, kvnew_ref, kvg_ref, bias_hist_ref,
     cur = jax.lax.rem(i, 2)
     nxt = 1 - cur
 
+    # One semaphore per buffer slot, shared by all CHUNK row DMAs (per-row
+    # semaphores exhaust the TPU's tiny sflag space past ~CHUNK 100). A
+    # shared sem means completions are anonymous: ALL of a slot's in-DMAs
+    # are waited before any row is touched.
     def issue_ins(b2, c2, s2):
         for j in range(CHUNK):
             row = src_ref[b2, c2 * CHUNK + j]
             pltpu.make_async_copy(cache_ref.at[l, b2, row],
-                                  buf.at[s2, j], isems.at[s2, j]).start()
+                                  buf.at[s2, j], isems.at[s2]).start()
+
+    def wait_ins(s2):
+        for j in range(CHUNK):
+            pltpu.make_async_copy(cache_ref.at[l, b, src_ref[b, c * CHUNK + j]],
+                                  buf.at[s2, j], isems.at[s2]).wait()
 
     def wait_outs(s2):
         # reconstructed descriptors: a DMA wait only consumes the semaphore
@@ -134,7 +143,7 @@ def _kernel(src_ref, lt_ref, q_ref, kvnew_ref, kvg_ref, bias_hist_ref,
         for j in range(CHUNK):
             pltpu.make_async_copy(buf.at[s2, j],
                                   cache_out_ref.at[l, b, c * CHUNK + j],
-                                  osems.at[s2, j]).wait()
+                                  osems.at[s2]).wait()
 
     if pipelined:
         @pl.when(i == 0)
@@ -155,17 +164,16 @@ def _kernel(src_ref, lt_ref, q_ref, kvnew_ref, kvg_ref, bias_hist_ref,
     else:
         issue_ins(b, c, cur)
 
-    for j in range(CHUNK):
-        pltpu.make_async_copy(cache_ref.at[l, b, src_ref[b, c * CHUNK + j]],
-                              buf.at[cur, j], isems.at[cur, j]).wait()
-        if write_back:
+    wait_ins(cur)
+    if write_back:
+        for j in range(CHUNK):
             # complete the deferred reorder: slot t-1 := gathered kv, then
-            # stream the ordered row out while later rows still arrive
+            # stream the ordered rows back out
             buf[cur, j] = jnp.where(slot == t - 1, kvg_ref[0, j][None, :],
                                     buf[cur, j])
             pltpu.make_async_copy(buf.at[cur, j],
                                   cache_out_ref.at[l, b, c * CHUNK + j],
-                                  osems.at[cur, j]).start()
+                                  osems.at[cur]).start()
 
     out = _attn_math(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
                      buf.at[cur], t, num_heads)
@@ -244,8 +252,8 @@ def step_attend_reorder(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, CHUNK, Mc, 2 * F), cache_src.dtype),
-            pltpu.SemaphoreType.DMA((2, CHUNK)),
-            pltpu.SemaphoreType.DMA((2, CHUNK)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     new_cache, attn = pl.pallas_call(
