@@ -161,7 +161,8 @@ class Trainer:
     def __init__(self, model: RiporModel, cfg: TrainConfig, params,
                  mesh: Optional[Mesh] = None, log_fn=None,
                  checkpoint_dir: Optional[str] = None,
-                 save_steps: int = 15_000, max_to_keep: int = 5):
+                 save_steps: int = 15_000, max_to_keep: int = 5,
+                 eval_fn=None, eval_steps: int = 0):
         self.model = model
         self.cfg = cfg
         self.tx = make_optimizer(cfg)
@@ -183,6 +184,12 @@ class Trainer:
                       else jax.jit(step, donate_argnums=(0,)))
         self.log_fn = log_fn or (lambda m, s: None)
         self.save_steps = save_steps
+        # periodic in-training evaluation (reference CondDocID_DRTrainer
+        # evaluate() on dev queries, tasks/trainer.py:870-977): eval_fn
+        # receives the live params and returns a metrics dict that is merged
+        # into the next log line (e.g. evaluation/dev_eval.py::dev_eval)
+        self.eval_fn = eval_fn
+        self.eval_steps = eval_steps
         self._ckpt = None
         if checkpoint_dir is not None:
             from ripor_tpu.train.checkpoint import CheckpointManager
@@ -215,6 +222,9 @@ class Trainer:
                 host = {k: float(v) for k, v in metrics.items()}
                 host.update(timer.summary())
                 self.log_fn(host, step)
+            if (self.eval_fn is not None and self.eval_steps
+                    and step % self.eval_steps == 0):
+                self.log_fn(dict(self.eval_fn(self.state.params)), step)
             if self._ckpt is not None and step % self.save_steps == 0:
                 self._ckpt.save(step, self.state)
         if self._ckpt is not None and metrics is not None:

@@ -174,6 +174,28 @@ def test_trainer_zero_opt_sharding_matches(mesh8):
     assert sharded, "no opt-state leaf sharded over the data axis"
 
 
+def test_trainer_periodic_dev_eval():
+    """eval_fn fires every eval_steps with the live params and its metrics
+    reach the log (reference in-training evaluate(), tasks/trainer.py:870)."""
+    cfg, model, params, ids, mask, codes, rng = setup()
+    logged = []
+    calls = []
+
+    def eval_fn(p):
+        calls.append(1)
+        return {"dev_mrr_10": 0.5}
+
+    tcfg = TrainConfig(loss_type="t5seq_aq_encoder_seq2seq",
+                       learning_rate=1e-3, total_steps=10)
+    trainer = Trainer(model, tcfg, params,
+                      log_fn=lambda m, s: logged.append((s, m)),
+                      eval_fn=eval_fn, eval_steps=2)
+    batch = {"query_ids": ids, "query_mask": mask, "codes": codes}
+    trainer.run(iter([batch] * 4), jax.random.PRNGKey(0), log_every=1)
+    assert len(calls) == 2  # steps 2 and 4
+    assert any("dev_mrr_10" in m for _, m in logged)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from ripor_tpu.train import load_params, resize_codebooks, save_params
     cfg, model, params, ids, mask, codes, rng = setup()
