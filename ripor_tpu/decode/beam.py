@@ -164,6 +164,14 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
         deferred = use_pallas_gather and spans_even
     if deferred:
         assert spans_even, "deferred reorder needs even segment spans"
+    # The deferred kernel moves whole beam-row chunks; pad the beam axis
+    # ONCE to a CHUNK multiple and kill ranks >= N every step (exact
+    # width-N semantics) — the kernel's per-call pad fallback would copy
+    # both full cache buffers every layer call otherwise.
+    Np = N
+    if deferred:
+        from ripor_tpu.ops.attend_reorder import CHUNK as _AR_CHUNK
+        Np = -_AR_CHUNK * (-N // _AR_CHUNK)
 
     @jax.jit
     def run(params, input_ids, attention_mask, tables):
@@ -177,11 +185,11 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             method=lambda m, n: m.decoder.full_self_bias(n))
         enc_bias = jnp.where(attention_mask > 0, 0.0, NEG_INF).astype(jnp.float32)
 
-        beam_scores = jnp.full((B, N), NEG_INF, jnp.float32).at[:, 0].set(0.0)
-        state = jnp.zeros((B, N), jnp.int32)          # all at trie root
-        tokens = jnp.zeros((B, N), jnp.int32)
-        codes = jnp.zeros((B, N, M), jnp.int32)
-        cache = model.apply({"params": params}, B, N, bufs[0],
+        beam_scores = jnp.full((B, Np), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+        state = jnp.zeros((B, Np), jnp.int32)         # all at trie root
+        tokens = jnp.zeros((B, Np), jnp.int32)
+        codes = jnp.zeros((B, Np, M), jnp.int32)
+        cache = model.apply({"params": params}, B, Np, bufs[0],
                             method=lambda m, b, n, l: m.decoder.init_cache(b, n, l))
 
         def select(beam_scores, state, codes, logits, t):
@@ -195,8 +203,11 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             # keep dead beams dead (NEG_INF + logit could exceed NEG_INF)
             cand = jnp.where(beam_scores[:, :, None] <= NEG_INF / 2,
                              NEG_INF, cand)
-            new_scores, idx = jax.lax.top_k(cand.reshape(B, N * K), N)
-            src = idx // K                                     # [B, N]
+            new_scores, idx = jax.lax.top_k(cand.reshape(B, Np * K), Np)
+            if Np != N:   # padded beam ranks die every step (exact width-N)
+                kill = jnp.arange(Np)[None, :] >= N
+                new_scores = jnp.where(kill, NEG_INF, new_scores)
+            src = idx // K                                     # [B, Np]
             tok = (idx % K).astype(jnp.int32)
             if constrained:
                 src_state = jnp.take_along_axis(state, src, axis=1)
@@ -237,7 +248,7 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                 beam_scores, state, codes, logits, t)
             if write_back:
                 L = kv_new.shape[0]
-                flat = kv_new.reshape(L * B, N, kv_new.shape[-1])
+                flat = kv_new.reshape(L * B, Np, kv_new.shape[-1])
                 src_rep = jnp.tile(src, (L, 1))
                 kvg = beam_gather_rows(flat, src_rep).reshape(kv_new.shape)
             return new_scores, new_state, tok, codes, new_cache, src, kvg
@@ -265,11 +276,11 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             # the attention kernel completes it while reading (two cache
             # passes/step instead of three, all at parallel-DMA bandwidth).
             # The deferred cache is K|V-MERGED: [L, B, N, Mc, 2F].
-            cache = model.apply({"params": params}, B, N, bufs[0],
+            cache = model.apply({"params": params}, B, Np, bufs[0],
                                 method=lambda m, b_, n_, l_:
                                 m.decoder.init_cache_merged(b_, n_, l_))
             src_prev = jnp.broadcast_to(
-                jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
+                jnp.arange(Np, dtype=jnp.int32)[None, :], (B, Np))
             kvg = jnp.zeros(cache.shape[:3] + (cache.shape[4],), cache.dtype)
             cb = jnp.zeros_like(cache)
 
@@ -308,7 +319,7 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                     cache = jnp.pad(cache, pad)
                     cb = jnp.pad(cb, pad)
                 lo = hi
-            return beam_scores, codes, state
+            return beam_scores[:, :N], codes[:, :N], state[:, :N]
 
         lo = 0
         for s, hi in enumerate(bounds):
