@@ -238,7 +238,9 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             """Step with the reorder deferred into the attention kernel:
             reads ``ca`` through ``src_prev``, writes the reordered rows
             (slot t-1 completed from ``kvg``) into ``cb``. Returns the new
-            pending (src, kvg [L, B, N, 2F]) for the NEXT step."""
+            pending (src, kvg [B, N, L*2F]) for the NEXT step — kvg rows
+            are layer-major so the permute is ONE gather DMA per beam
+            (36 KB at t5-base) instead of L small ones."""
             from ripor_tpu.ops.beam_gather import beam_gather_rows
             logits, new_cache, kv_new = model.apply(
                 {"params": params}, tokens, ca, cb, src_prev, kvg,
@@ -247,10 +249,7 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             new_scores, new_state, tok, codes, src = select(
                 beam_scores, state, codes, logits, t)
             if write_back:
-                L = kv_new.shape[0]
-                flat = kv_new.reshape(L * B, Np, kv_new.shape[-1])
-                src_rep = jnp.tile(src, (L, 1))
-                kvg = beam_gather_rows(flat, src_rep).reshape(kv_new.shape)
+                kvg = beam_gather_rows(kv_new, src)
             return new_scores, new_state, tok, codes, new_cache, src, kvg
 
         def step(carry, t):
@@ -281,7 +280,8 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                                 m.decoder.init_cache_merged(b_, n_, l_))
             src_prev = jnp.broadcast_to(
                 jnp.arange(Np, dtype=jnp.int32)[None, :], (B, Np))
-            kvg = jnp.zeros(cache.shape[:3] + (cache.shape[4],), cache.dtype)
+            kvg = jnp.zeros((B, Np, cache.shape[0] * cache.shape[4]),
+                            cache.dtype)
             cb = jnp.zeros_like(cache)
 
             def pair_deferred(carry, ts):

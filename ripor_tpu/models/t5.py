@@ -295,9 +295,11 @@ class Decoder(nn.Module):
 
         x: [B, N, d] position-t input embeds (current beams);
         cache_src/cache_dst: [L, B, N, Mc, 2F] K|V-merged ping-pong pair
-        (init_cache_merged); src: [B, N] int32; kvg: [L, B, N, 2F].
-        Returns (hidden, new_cache, kv_new [L, B, N, 2F]); new_cache is
-        cache_dst's buffer (stale when write_back=False).
+        (init_cache_merged); src: [B, N] int32; kvg: [B, N, L*2F]
+        (layer-major rows — one gather DMA moves a beam's k/v for ALL
+        layers; the kernel slices its layer via the scalar-prefetched
+        layer index). Returns (hidden, new_cache, kv_new [B, N, L*2F]);
+        new_cache is cache_dst's buffer (stale when write_back=False).
         """
         from ripor_tpu.ops.attend_reorder import step_attend_reorder
         cfg = self.cfg
@@ -318,11 +320,12 @@ class Decoder(nn.Module):
             kvf = jnp.concatenate([k.reshape(B, N, -1),
                                    v.reshape(B, N, -1)], axis=-1)
             attn, cache = step_attend_reorder(
-                qf, kvf, kvg[l], cache_src, cache, src, l, t,
+                qf, kvf, kvg, cache_src, cache, src, l, t,
                 bias_hist, bias_new, cfg.num_heads, write_back=write_back)
             x = layer.step_finish_with_attn(x, attn, enc_k, enc_v, enc_bias)
             kvnews.append(kvf)
-        return self.final_norm(x), cache, jnp.stack(kvnews)
+        kv_new = jnp.stack(kvnews, axis=2).reshape(B, N, -1)
+        return self.final_norm(x), cache, kv_new
 
     def _decode_step_pallas(self, x, cache, cross_kv, enc_bias, bias_row,
                             key_pos, t):

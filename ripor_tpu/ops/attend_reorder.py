@@ -47,6 +47,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 # rows per grid cell (DMAs in flight per direction); env override for tuning
 CHUNK = int(os.environ.get("RIPOR_AR_CHUNK", "40"))
+# writeback rows per DMA descriptor. The gather READ is per-row by nature
+# (scattered sources) but the writeback destination rows are CONTIGUOUS
+# (dest index = c*CHUNK + j), so grouping rows per descriptor cuts the
+# scalar-core DMA-issue cost — the kernel is descriptor-issue bound, not
+# bandwidth bound (see tools/bench_decode_ablate.py).
+WGROUP = int(os.environ.get("RIPOR_AR_WGROUP", "8"))
 
 
 def _attn_math(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
@@ -136,14 +142,17 @@ def _kernel(src_ref, lt_ref, q_ref, kvnew_ref, kvg_ref, bias_hist_ref,
             pltpu.make_async_copy(cache_ref.at[l, b, src_ref[b, c * CHUNK + j]],
                                   buf.at[s2, j], isems.at[s2]).wait()
 
+    wg = WGROUP if CHUNK % WGROUP == 0 else 1
+
     def wait_outs(s2):
         # reconstructed descriptors: a DMA wait only consumes the semaphore
         # by the transfer size, so same-shaped refs stand in for the
         # originals issued in an earlier grid cell
-        for j in range(CHUNK):
-            pltpu.make_async_copy(buf.at[s2, j],
-                                  cache_out_ref.at[l, b, c * CHUNK + j],
-                                  osems.at[s2]).wait()
+        for j in range(0, CHUNK, wg):
+            pltpu.make_async_copy(
+                buf.at[s2, pl.ds(j, wg)],
+                cache_out_ref.at[l, b, pl.ds(c * CHUNK + j, wg)],
+                osems.at[s2]).wait()
 
     if pipelined:
         @pl.when(i == 0)
@@ -166,14 +175,16 @@ def _kernel(src_ref, lt_ref, q_ref, kvnew_ref, kvg_ref, bias_hist_ref,
 
     wait_ins(cur)
     if write_back:
-        for j in range(CHUNK):
-            # complete the deferred reorder: slot t-1 := gathered kv, then
-            # stream the ordered rows back out
-            buf[cur, j] = jnp.where(slot == t - 1, kvg_ref[0, j][None, :],
-                                    buf[cur, j])
-            pltpu.make_async_copy(buf.at[cur, j],
-                                  cache_out_ref.at[l, b, c * CHUNK + j],
-                                  osems.at[cur]).start()
+        # complete the deferred reorder: slot t-1 := gathered kv (one
+        # vectorized insert over the whole chunk), then stream the ordered
+        # rows out in contiguous WGROUP-row descriptors
+        buf[cur] = jnp.where(slot[None] == t - 1, kvg_ref[0][:, None, :],
+                             buf[cur])
+        for j in range(0, CHUNK, wg):
+            pltpu.make_async_copy(
+                buf.at[cur, pl.ds(j, wg)],
+                cache_out_ref.at[l, b, pl.ds(c * CHUNK + j, wg)],
+                osems.at[cur]).start()
 
     out = _attn_math(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
                      buf.at[cur], t, num_heads)
@@ -196,7 +207,11 @@ def step_attend_reorder(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
     writeback for ONE decoder layer over the K|V-merged cache.
 
     q: [B, N, F]; kv_new: [B, N, 2F] position-t K|V for CURRENT beams;
-    kvg: [B, N, 2F] step t-1's K|V permuted to current beam order;
+    kvg: [B, N, L*2F] step t-1's K|V for ALL layers permuted to current
+    beam order, layer-major within the row — the beam.py gather moves one
+    36 KB row per beam instead of L separate 3 KB rows (12x fewer DMA
+    descriptors; the gather is descriptor-issue bound), and this kernel
+    slices its own layer out via a scalar-prefetch-dependent block index;
     cache_src: [L, B, N, Mc, 2F] ordered for the previous step's beams
     (slots [0, t-1) valid); cache_dst: ping-pong partner, receives rows
     reordered by ``src`` [B, N] with slot t-1 inserted (aliased output);
@@ -209,11 +224,12 @@ def step_attend_reorder(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
     if interpret is None:  # CPU tests run the kernel in interpret mode
         interpret = jax.default_backend() != "tpu"
     B, N, F = q.shape
+    L = cache_src.shape[0]
     Mc = cache_src.shape[3]
     assert cache_src.shape[1] == B and cache_src.shape[2] == N, cache_src.shape
     assert cache_src.shape[4] == 2 * F, cache_src.shape
     assert kv_new.shape == (B, N, 2 * F), kv_new.shape
-    assert kvg.shape == (B, N, 2 * F), kvg.shape
+    assert kvg.shape == (B, N, L * 2 * F), kvg.shape
     assert src.shape == (B, N), src.shape
     if N % CHUNK != 0:
         pad = CHUNK - N % CHUNK
@@ -240,7 +256,9 @@ def step_attend_reorder(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
         in_specs=[
             pl.BlockSpec((1, CHUNK, F), lambda b, c, s, lt_: (b, c, 0)),
             pl.BlockSpec((1, CHUNK, 2 * F), lambda b, c, s, lt_: (b, c, 0)),
-            pl.BlockSpec((1, CHUNK, 2 * F), lambda b, c, s, lt_: (b, c, 0)),
+            # kvg is [B, N, L*2F]; block index lt_[0] slices THIS layer's
+            # [2F] span out of the layer-major row
+            pl.BlockSpec((1, CHUNK, 2 * F), lambda b, c, s, lt_: (b, c, lt_[0])),
             pl.BlockSpec((Mc, num_heads), lambda b, c, s, lt_: (0, 0)),
             pl.BlockSpec((1, num_heads), lambda b, c, s, lt_: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),

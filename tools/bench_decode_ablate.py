@@ -77,13 +77,17 @@ def main():
 
     def run_variant(name, constrained=True, segments=4, attn=None,
                     reorder=None, topk=None, kernel=None, sar=None,
-                    chunk=None, deferred=None):
+                    chunk=None, deferred=None, bgr=None, finish=None):
+        import ripor_tpu.ops.beam_gather as bg_mod
+        from ripor_tpu.models.t5 import DecoderLayer
         sa_mod.step_attention_fused = attn or real_attn
         t5_mod.step_attention_fused = attn or real_attn  # if imported there
         beam_mod._reorder_cache = reorder or real_reorder
         sa_mod._fused_kernel = kernel or real_kernel
         ar_mod.step_attend_reorder = sar or real_sar
         ar_mod.CHUNK = chunk or real_chunk
+        bg_mod.beam_gather_rows = bgr or real_bgr
+        DecoderLayer.step_finish_with_attn = finish or real_finish
         if topk is not None:
             jax.lax.top_k = topk
         jax.clear_caches()  # step_attention_fused is @jit: force a retrace
@@ -113,6 +117,8 @@ def main():
             sa_mod._fused_kernel = real_kernel
             ar_mod.step_attend_reorder = real_sar
             ar_mod.CHUNK = real_chunk
+            bg_mod.beam_gather_rows = real_bgr
+            DecoderLayer.step_finish_with_attn = real_finish
             jax.lax.top_k = real_topk
 
     def fake_attn(q, k_new, v_new, cache, layer, bias_hist, bias_new,
@@ -165,6 +171,17 @@ def main():
                  interpret=None):
         return q, cache_dst
 
+    import ripor_tpu.ops.beam_gather as bg_mod
+    real_bgr = bg_mod.beam_gather_rows
+    from ripor_tpu.models.t5 import DecoderLayer
+    real_finish = DecoderLayer.step_finish_with_attn
+
+    def fake_bgr(cache, src, interpret=None):
+        return cache  # skip the kvg permute (wrong results, same shapes)
+
+    def fake_finish(self, x, attn_flat, enc_k, enc_v, enc_bias):
+        return x + attn_flat.astype(x.dtype) * 1e-6  # skip cross-attn + FFN
+
     def no_writeback_sar(q, kv_new, kvg, cache_src, cache_dst, src, layer,
                          t, bias_hist, bias_new, num_heads, write_back=True,
                          interpret=None):
@@ -183,10 +200,12 @@ def main():
         ("attn_scores_only", dict(kernel=scores_only_kernel)),
         ("def_no_kernel", dict(sar=fake_sar)),
         ("def_no_writeback", dict(sar=no_writeback_sar)),
-        ("def_chunk20", dict(chunk=20)),
-        ("def_chunk50", dict(chunk=50)),
-        ("def_chunk100", dict(chunk=100)),
+        ("def_chunk24", dict(chunk=24)),
+        ("def_chunk56", dict(chunk=56)),
+        ("def_chunk80", dict(chunk=80)),
         ("non_deferred", dict(deferred=False)),
+        ("def_no_kvgather", dict(bgr=fake_bgr)),
+        ("def_no_ffn", dict(finish=fake_finish)),
     ]
     results = {}
     for name, kw in variants:
