@@ -83,7 +83,9 @@ def main():
     tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
     print(f"# succinct trie tables {tables_memory_bytes(tables)/1e6:.0f} MB",
           file=sys.stderr)
-    run = make_beam_search_fn(cfg, num_beams, constrained=True, dtype=jnp.bfloat16)
+    int8_cache = os.environ.get("BENCH_INT8", "") == "1"
+    run = make_beam_search_fn(cfg, num_beams, constrained=True,
+                              dtype=jnp.bfloat16, kv_cache_int8=int8_cache)
 
     # warmup / compile. NOTE: block_until_ready does not synchronize through
     # this image's remote-execution relay — np.asarray (host transfer) is the

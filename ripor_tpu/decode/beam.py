@@ -121,7 +121,8 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                         dtype=jnp.bfloat16,
                         use_pallas_gather: Optional[bool] = None,
                         cache_segments: int = 4,
-                        deferred: Optional[bool] = None):
+                        deferred: Optional[bool] = None,
+                        kv_cache_int8: bool = False):
     """Build a jitted beam-search function.
 
     Returns fn(params, input_ids, attention_mask, tables)
@@ -140,6 +141,11 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     one-step delay (ops/attend_reorder.py) — two full-cache passes per step
     at parallel-DMA bandwidth instead of three. Default: on whenever the
     pallas path is on and every segment span is even.
+
+    ``kv_cache_int8``: store the (deferred) KV cache as int8 rows with
+    per-head power-of-2 scales — halves the decode loop's dominant cache
+    bandwidth for ~0.5% score error (each slot is quantized exactly once
+    at insert; scales are exact powers of two). Requires ``deferred``.
     """
     M = max_steps or cfg.M
     N = num_beams
@@ -164,6 +170,8 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
         deferred = use_pallas_gather and spans_even
     if deferred:
         assert spans_even, "deferred reorder needs even segment spans"
+    if kv_cache_int8:
+        assert deferred, "kv_cache_int8 requires the deferred decode path"
     # The deferred kernel moves whole beam-row chunks; pad the beam axis
     # ONCE to a CHUNK multiple and kill ranks >= N every step (exact
     # width-N semantics) — the kernel's per-call pad fallback would copy
@@ -277,11 +285,16 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             # The deferred cache is K|V-MERGED: [L, B, N, Mc, 2F].
             cache = model.apply({"params": params}, B, Np, bufs[0],
                                 method=lambda m, b_, n_, l_:
-                                m.decoder.init_cache_merged(b_, n_, l_))
+                                m.decoder.init_cache_merged(
+                                    b_, n_, l_, quantized=kv_cache_int8))
+            if kv_cache_int8:
+                from ripor_tpu.ops.attend_reorder import SCALE_COLS
+                kv_row = cache.shape[4] - SCALE_COLS
+            else:
+                kv_row = cache.shape[4]
             src_prev = jnp.broadcast_to(
                 jnp.arange(Np, dtype=jnp.int32)[None, :], (B, Np))
-            kvg = jnp.zeros((B, Np, cache.shape[0] * cache.shape[4]),
-                            cache.dtype)
+            kvg = jnp.zeros((B, Np, cache.shape[0] * kv_row), dtype)
             cb = jnp.zeros_like(cache)
 
             def pair_deferred(carry, ts):
@@ -369,7 +382,8 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
                                 max_steps: Optional[int] = None,
                                 dtype=jnp.bfloat16,
                                 use_pallas_gather: Optional[bool] = None,
-                                cache_segments: int = 4):
+                                cache_segments: int = 4,
+                                kv_cache_int8: bool = False):
     """Data-parallel constrained beam search: queries shard over the mesh's
     'data' axis, params + trie tables replicate, each device runs the full
     decode on its query shard (replaces the reference's one-query-per-GPU
@@ -382,7 +396,8 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
     inner = make_beam_search_fn(cfg, num_beams, constrained=constrained,
                                 max_steps=max_steps, dtype=dtype,
                                 use_pallas_gather=use_pallas_gather,
-                                cache_segments=cache_segments)
+                                cache_segments=cache_segments,
+                                kv_cache_int8=kv_cache_int8)
 
     @jax.jit
     def run(params, input_ids, attention_mask, tables):

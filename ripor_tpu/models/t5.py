@@ -273,11 +273,18 @@ class Decoder(nn.Module):
         return self.final_norm(x), cache, None
 
     def init_cache_merged(self, batch: int, num_beams: int,
-                          max_len: int) -> jnp.ndarray:
+                          max_len: int, quantized: bool = False) -> jnp.ndarray:
         """K|V-merged cache [L, B, N, Mc, 2*H*D] for the deferred decode
         path: one row carries a beam's keys AND values so the gather moves
-        it with a single DMA (ops/attend_reorder.py layout contract)."""
+        it with a single DMA (ops/attend_reorder.py layout contract).
+        ``quantized``: int8 rows with SCALE_COLS extra columns of per-head
+        power-of-2 exponents — halves the decode loop's cache bandwidth."""
         cfg = self.cfg
+        if quantized:
+            from ripor_tpu.ops.attend_reorder import SCALE_COLS
+            return jnp.zeros((cfg.num_decoder_layers, batch, num_beams,
+                              max_len, 2 * cfg.inner_dim + SCALE_COLS),
+                             jnp.int8)
         return jnp.zeros((cfg.num_decoder_layers, batch, num_beams,
                           max_len, 2 * cfg.inner_dim), self.dtype)
 

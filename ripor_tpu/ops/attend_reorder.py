@@ -53,6 +53,85 @@ CHUNK = int(os.environ.get("RIPOR_AR_CHUNK", "40"))
 # scalar-core DMA-issue cost — the kernel is descriptor-issue bound, not
 # bandwidth bound (see tools/bench_decode_ablate.py).
 WGROUP = int(os.environ.get("RIPOR_AR_WGROUP", "8"))
+# int8 cache rows append this many int8 columns; the first 2H hold the
+# per-head power-of-2 quantization exponents (K heads then V heads)
+SCALE_COLS = 128
+
+
+def _quantize_rows(x, num_heads: int):
+    """Quantize bf16/f32 K|V rows [C, 2F] to int8 with one power-of-2
+    scale per head group: e = ceil(log2(absmax/127)), q8 = round(x*2^-e).
+    Power-of-2 scales are exact in any float dtype, so dequantization is
+    a lossless multiply; each cache slot is quantized exactly ONCE (at
+    insert) and moved verbatim afterwards — no requantization drift.
+    Returns (q8 [C, 2F] int8, epad [C, SCALE_COLS] int8)."""
+    C, F2 = x.shape
+    G = 2 * num_heads
+    D = F2 // G
+    qs, es = [], []
+    for g in range(G):
+        xg = x[:, g * D:(g + 1) * D].astype(jnp.float32)
+        am = jnp.max(jnp.abs(xg), axis=1, keepdims=True)       # [C, 1]
+        e = jnp.ceil(jnp.log2(jnp.maximum(am, 1e-30) / 127.0))
+        e = jnp.clip(e, -100.0, 100.0)
+        qs.append(jnp.round(xg * jnp.exp2(-e)).astype(jnp.int8))
+        es.append(e.astype(jnp.int8))
+    q8 = jnp.concatenate(qs, axis=1)                           # [C, 2F]
+    e8 = jnp.concatenate(es, axis=1)                           # [C, G]
+    epad = jnp.pad(e8, ((0, 0), (0, SCALE_COLS - G)))
+    return q8, epad
+
+
+def _attn_math_q8(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
+                  buf, t, num_heads: int):
+    """_attn_math for int8 cache rows [C, Mc, 2F+SCALE_COLS]: dequantize
+    scores per head with the stored exponents; slot t-1 (not yet in the
+    cache) is taken EXACTLY from the bf16 ``kvg``. Returns [C, F] f32."""
+    C, F = q_ref.shape[1], q_ref.shape[2]
+    Mc = buf.shape[1]
+    H = num_heads
+    q32 = q_ref[0].astype(jnp.float32)                   # [C, F]
+    head_of = jax.lax.broadcasted_iota(jnp.int32, (F, H), 0) // (F // H)
+    head_mask = (head_of == jax.lax.broadcasted_iota(jnp.int32, (F, H), 1))
+    hm = head_mask.astype(jnp.bfloat16)
+    slot_m = jax.lax.broadcasted_iota(jnp.int32, (1, Mc, 1), 1)
+
+    raw = buf[...]                                       # [C, Mc, RW] int8
+    k8 = raw[:, :, :F].astype(jnp.float32)
+    v8 = raw[:, :, F:2 * F].astype(jnp.float32)
+    ef = raw[:, :, 2 * F:].astype(jnp.float32)           # [C, Mc, SCALE_COLS]
+    ek = jnp.exp2(ef[:, :, :H])                          # [C, Mc, H]
+    ev = jnp.exp2(ef[:, :, H:2 * H])
+
+    kq = (k8 * q32[:, None, :]).reshape(C * Mc, F)
+    s_hist = jax.lax.dot(kq.astype(jnp.bfloat16), hm,
+                         preferred_element_type=jnp.float32).reshape(C, Mc, H)
+    s_hist = s_hist * ek
+    kvg_k = kvg_ref[0][:, :F].astype(jnp.float32)
+    kvg_v = kvg_ref[0][:, F:].astype(jnp.float32)
+    s_t1 = jax.lax.dot((kvg_k * q32).astype(jnp.bfloat16), hm,
+                       preferred_element_type=jnp.float32)         # [C, H]
+    s_hist = jnp.where(slot_m == t - 1, s_t1[:, None, :], s_hist)
+    s_hist = s_hist + bias_hist_ref[...].astype(jnp.float32)[None]
+
+    k_new = kvnew_ref[0][:, :F]
+    v_new = kvnew_ref[0][:, F:]
+    s_new = jax.lax.dot((k_new.astype(jnp.float32) * q32).astype(jnp.bfloat16),
+                        hm, preferred_element_type=jnp.float32)    # [C, H]
+    s_new = s_new + bias_new_ref[...].astype(jnp.float32)
+
+    scores = jnp.concatenate([s_hist, s_new[:, None, :]], axis=1)
+    probs = jax.nn.softmax(scores, axis=1)               # [C, Mc+1, H]
+    pe = jax.lax.dot(probs[:, :Mc].reshape(C * Mc, H).astype(jnp.bfloat16),
+                     hm.T, preferred_element_type=jnp.float32).reshape(C, Mc, F)
+    # per-head V scales expanded to F lanes (powers of two: exact in bf16)
+    vsf = jax.lax.dot(ev.reshape(C * Mc, H).astype(jnp.bfloat16), hm.T,
+                      preferred_element_type=jnp.float32).reshape(C, Mc, F)
+    vv = jnp.where(slot_m == t - 1, kvg_v[:, None, :], vsf * v8)
+    out = (pe * vv).sum(axis=1)
+    pn = jax.lax.dot(probs[:, Mc].astype(jnp.bfloat16), hm.T,
+                     preferred_element_type=jnp.float32)           # [C, F]
+    return out + pn * v_new.astype(jnp.float32)
 
 
 def _attn_math(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
@@ -107,7 +186,7 @@ def _attn_math(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
 def _kernel(src_ref, lt_ref, q_ref, kvnew_ref, kvg_ref, bias_hist_ref,
             bias_new_ref, cache_ref, dst_ref, cache_out_ref, attn_ref,
             buf, isems, osems, *, num_heads: int, write_back: bool,
-            pipelined: bool):
+            pipelined: bool, quantized: bool):
     """Grid cell body. ``pipelined``: double-buffer the row DMAs across grid
     cells — cell i+1's gather reads are issued before cell i's compute, and
     cell i's writeback is only waited when its buffer half is next reused —
@@ -176,9 +255,15 @@ def _kernel(src_ref, lt_ref, q_ref, kvnew_ref, kvg_ref, bias_hist_ref,
     wait_ins(cur)
     if write_back:
         # complete the deferred reorder: slot t-1 := gathered kv (one
-        # vectorized insert over the whole chunk), then stream the ordered
+        # vectorized insert over the whole chunk; quantized caches get the
+        # row int8-quantized HERE, exactly once), then stream the ordered
         # rows out in contiguous WGROUP-row descriptors
-        buf[cur] = jnp.where(slot[None] == t - 1, kvg_ref[0][:, None, :],
+        if quantized:
+            q8, epad = _quantize_rows(kvg_ref[0], num_heads)
+            ins_row = jnp.concatenate([q8, epad], axis=1)
+        else:
+            ins_row = kvg_ref[0]
+        buf[cur] = jnp.where(slot[None] == t - 1, ins_row[:, None, :],
                              buf[cur])
         for j in range(0, CHUNK, wg):
             pltpu.make_async_copy(
@@ -186,8 +271,9 @@ def _kernel(src_ref, lt_ref, q_ref, kvnew_ref, kvg_ref, bias_hist_ref,
                 cache_out_ref.at[l, b, pl.ds(c * CHUNK + j, wg)],
                 osems.at[cur]).start()
 
-    out = _attn_math(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
-                     buf.at[cur], t, num_heads)
+    math_fn = _attn_math_q8 if quantized else _attn_math
+    out = math_fn(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
+                  buf.at[cur], t, num_heads)
     attn_ref[0] = out.astype(attn_ref.dtype)
     if write_back:
         if pipelined:
@@ -226,8 +312,10 @@ def step_attend_reorder(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
     B, N, F = q.shape
     L = cache_src.shape[0]
     Mc = cache_src.shape[3]
+    quantized = cache_src.dtype == jnp.int8
+    RW = 2 * F + (SCALE_COLS if quantized else 0)
     assert cache_src.shape[1] == B and cache_src.shape[2] == N, cache_src.shape
-    assert cache_src.shape[4] == 2 * F, cache_src.shape
+    assert cache_src.shape[4] == RW, (cache_src.shape, RW)
     assert kv_new.shape == (B, N, 2 * F), kv_new.shape
     assert kvg.shape == (B, N, L * 2 * F), kvg.shape
     assert src.shape == (B, N), src.shape
@@ -247,7 +335,8 @@ def step_attend_reorder(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
 
     kernel = functools.partial(_kernel, num_heads=num_heads,
                                write_back=write_back,
-                               pipelined=not interpret)
+                               pipelined=not interpret,
+                               quantized=quantized)
     lt = jnp.stack([jnp.asarray(layer, jnp.int32),
                     jnp.asarray(t, jnp.int32)]).reshape(2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -269,7 +358,7 @@ def step_attend_reorder(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
             pl.BlockSpec((1, CHUNK, F), lambda b, c, s, lt_: (b, c, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, Mc, 2 * F), cache_src.dtype),
+            pltpu.VMEM((2, CHUNK, Mc, RW), cache_src.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -144,6 +144,29 @@ def test_deferred_reorder_matches_xla_path():
     np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
 
 
+def test_deferred_int8_cache_close_to_xla_path():
+    """The int8-quantized KV cache (per-head power-of-2 scales,
+    ops/attend_reorder.py::_attn_math_q8 in interpret mode) must stay
+    within quantization tolerance of the exact XLA path: scores close in
+    relative terms and the top-1 beam identical."""
+    from ripor_tpu.decode.beam import make_beam_search_fn
+    from ripor_tpu.trie.succinct import succinct_tables
+
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=6, K=8, n_docs=40)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+    ref_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                                 use_pallas_gather=False, deferred=False)
+    q8_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                                use_pallas_gather=False, deferred=True,
+                                cache_segments=3, kv_cache_int8=True)
+    s0, c0, st0 = ref_fn(params, ids, mask, tables)
+    s1, c1, st1 = q8_fn(params, ids, mask, tables)
+    s0, s1 = np.asarray(s0), np.asarray(s1)
+    live = s0 > -1e29
+    np.testing.assert_allclose(s1[live], s0[live], rtol=0.05, atol=0.05)
+    np.testing.assert_array_equal(np.asarray(c0)[:, 0], np.asarray(c1)[:, 0])
+
+
 def test_unconstrained_beam_search_runs():
     cfg, model, params, ids, mask, doc_codes, trie = setup(M=4, K=8)
     out = beam_search(cfg, params, np.asarray(ids), np.asarray(mask),
