@@ -177,9 +177,15 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     # width-N semantics) — the kernel's per-call pad fallback would copy
     # both full cache buffers every layer call otherwise.
     Np = N
+    ar_chunk = None
     if deferred:
-        from ripor_tpu.ops.attend_reorder import CHUNK as _AR_CHUNK
-        Np = -_AR_CHUNK * (-N // _AR_CHUNK)
+        from ripor_tpu.ops.attend_reorder import SCALE_COLS, pick_chunk
+        rw = 2 * cfg.t5.inner_dim + (SCALE_COLS if kv_cache_int8 else 0)
+        isz = 1 if kv_cache_int8 else jnp.dtype(dtype).itemsize
+        # chunk from the LARGEST segment's slot count so every kernel call
+        # in the decode shares it (and the one-time beam pad matches)
+        ar_chunk = pick_chunk(bufs[-1], rw, isz)
+        Np = -ar_chunk * (-N // ar_chunk)
 
     @jax.jit
     def run(params, input_ids, attention_mask, tables):
@@ -252,7 +258,7 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             from ripor_tpu.ops.beam_gather import beam_gather_rows
             logits, new_cache, kv_new = model.apply(
                 {"params": params}, tokens, ca, cb, src_prev, kvg,
-                cross_kv, enc_bias, self_bias, t, write_back,
+                cross_kv, enc_bias, self_bias, t, write_back, ar_chunk,
                 method=RiporModel.decode_step_deferred)
             new_scores, new_state, tok, codes, src = select(
                 beam_scores, state, codes, logits, t)

@@ -22,6 +22,8 @@ implicit (shift-right inserts the learned start embedding).
 from __future__ import annotations
 
 
+from typing import Optional
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -240,7 +242,8 @@ class RiporModel(nn.Module):
 
     def decode_step_deferred(self, tokens, cache_src, cache_dst, src, kvg,
                              cross_kv: CrossKV, enc_bias, self_bias, t,
-                             write_back: bool = True):
+                             write_back: bool = True,
+                             ar_chunk: Optional[int] = None):
         """decode_step with the beam reorder deferred one step and fused
         into the attention kernel (Decoder.decode_step_deferred /
         ops/attend_reorder.py). ``tokens`` are the codes chosen at step t-1
@@ -255,7 +258,7 @@ class RiporModel(nn.Module):
         x = jnp.where(t == 0, start, tok_embed)
         hidden, new_cache, kv_new = self.decoder.decode_step_deferred(
             x, cache_src, cache_dst, src, kvg, cross_kv, enc_bias,
-            self_bias, t, write_back=write_back)
+            self_bias, t, write_back=write_back, ar_chunk=ar_chunk)
         hidden = self._maybe_scale(hidden)
         logits = jnp.einsum("bnd,kd->bnk", hidden, self._out_books()[t],
                             preferred_element_type=jnp.float32)

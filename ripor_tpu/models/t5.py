@@ -290,7 +290,7 @@ class Decoder(nn.Module):
 
     def decode_step_deferred(self, x, cache_src, cache_dst, src, kvg,
                              cross_kv: CrossKV, enc_bias, self_bias_full, t,
-                             write_back: bool = True):
+                             write_back: bool = True, ar_chunk=None):
         """TPU decode step with the beam reorder DEFERRED one step and fused
         into the attention kernel (ops/attend_reorder.py): per layer, rows
         are gathered from ``cache_src`` by ``src`` (previous step's beam
@@ -328,7 +328,8 @@ class Decoder(nn.Module):
                                    v.reshape(B, N, -1)], axis=-1)
             attn, cache = step_attend_reorder(
                 qf, kvf, kvg, cache_src, cache, src, l, t,
-                bias_hist, bias_new, cfg.num_heads, write_back=write_back)
+                bias_hist, bias_new, cfg.num_heads, write_back=write_back,
+                chunk=ar_chunk)
             x = layer.step_finish_with_attn(x, attn, enc_k, enc_v, enc_bias)
             kvnews.append(kvf)
         kv_new = jnp.stack(kvnews, axis=2).reshape(B, N, -1)

@@ -45,8 +45,36 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# rows per grid cell (DMAs in flight per direction); env override for tuning
+# default rows per grid cell (DMAs in flight per direction); env override
+# for tuning. Throughput is flat in chunk size (24/40/56 measured equal on
+# v5e — the row DMAs are bandwidth-bound) but the double buffer must fit
+# scoped VMEM: pick_chunk() shrinks it for wide-row geometries (t5-3b).
 CHUNK = int(os.environ.get("RIPOR_AR_CHUNK", "40"))
+# scoped-VMEM budget for the double row buffer (bytes); the measured-safe
+# ceiling on v5e is the t5-base config's 15.7 MB buffer
+_VMEM_BUDGET = 15_900_000
+
+
+def pick_chunk(mc_max: int, row_width: int, itemsize: int) -> int:
+    """Largest multiple-of-8 chunk (capped at CHUNK) that keeps the kernel
+    within Mosaic's 16 MB scoped-VMEM stack. Two empirical bounds: the
+    [2, chunk, mc_max, row_width] double row buffer, and the attention-math
+    temporaries (~20 B per chunk*mc*F element, calibrated on measured
+    compile OOMs at F=4096 and chunk=80). Throughput is flat in chunk on
+    v5e (24/40/56 equal), so conservative is free. Call with the LARGEST
+    segment's slot count so every per-layer kernel call in a decode uses
+    the same chunk (the beam axis is padded to it once)."""
+    f_elems = row_width // 2      # K half; scale cols are negligible
+    c_buf = _VMEM_BUDGET // max(1, 2 * mc_max * row_width * itemsize)
+    c = min(CHUNK, c_buf)
+    if f_elems > 2048:
+        # wide rows (t5-3b F=4096): the attention-math temporaries bind
+        # (~13 B per chunk*mc*F element, calibrated on measured compile
+        # OOMs); inside the measured-good envelope (F <= 2048, chunk 40,
+        # mc 32) the full CHUNK is known to fit AND is ~8% faster at
+        # batch 8 than chunk 24, so don't shrink there.
+        c = min(c, 15_500_000 // max(1, 13 * mc_max * f_elems))
+    return max(8, (c // 8) * 8)
 # writeback rows per DMA descriptor. The gather READ is per-row by nature
 # (scattered sources) but the writeback destination rows are CONTIGUOUS
 # (dest index = c*CHUNK + j), so grouping rows per descriptor cuts the
@@ -97,26 +125,30 @@ def _attn_math_q8(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
     slot_m = jax.lax.broadcasted_iota(jnp.int32, (1, Mc, 1), 1)
 
     raw = buf[...]                                       # [C, Mc, RW] int8
-    k8 = raw[:, :, :F].astype(jnp.float32)
-    v8 = raw[:, :, F:2 * F].astype(jnp.float32)
+    # int8 -> bf16 is EXACT (|v| <= 127 fits bf16's 8-bit mantissa); bf16
+    # products keep the [C, Mc, F] temporaries half the size of f32 (the
+    # scoped-VMEM stack is the binding constraint for wide rows)
+    k8 = raw[:, :, :F].astype(jnp.bfloat16)
+    v8 = raw[:, :, F:2 * F].astype(jnp.bfloat16)
     ef = raw[:, :, 2 * F:].astype(jnp.float32)           # [C, Mc, SCALE_COLS]
     ek = jnp.exp2(ef[:, :, :H])                          # [C, Mc, H]
     ev = jnp.exp2(ef[:, :, H:2 * H])
 
-    kq = (k8 * q32[:, None, :]).reshape(C * Mc, F)
-    s_hist = jax.lax.dot(kq.astype(jnp.bfloat16), hm,
+    qb = q_ref[0].astype(jnp.bfloat16)
+    kq = (k8 * qb[:, None, :]).reshape(C * Mc, F)
+    s_hist = jax.lax.dot(kq, hm,
                          preferred_element_type=jnp.float32).reshape(C, Mc, H)
     s_hist = s_hist * ek
-    kvg_k = kvg_ref[0][:, :F].astype(jnp.float32)
-    kvg_v = kvg_ref[0][:, F:].astype(jnp.float32)
-    s_t1 = jax.lax.dot((kvg_k * q32).astype(jnp.bfloat16), hm,
+    kvg_k = kvg_ref[0][:, :F].astype(jnp.bfloat16)
+    kvg_v = kvg_ref[0][:, F:].astype(jnp.bfloat16)
+    s_t1 = jax.lax.dot(kvg_k * qb, hm,
                        preferred_element_type=jnp.float32)         # [C, H]
     s_hist = jnp.where(slot_m == t - 1, s_t1[:, None, :], s_hist)
     s_hist = s_hist + bias_hist_ref[...].astype(jnp.float32)[None]
 
-    k_new = kvnew_ref[0][:, :F]
+    k_new = kvnew_ref[0][:, :F].astype(jnp.bfloat16)
     v_new = kvnew_ref[0][:, F:]
-    s_new = jax.lax.dot((k_new.astype(jnp.float32) * q32).astype(jnp.bfloat16),
+    s_new = jax.lax.dot(k_new * qb,
                         hm, preferred_element_type=jnp.float32)    # [C, H]
     s_new = s_new + bias_new_ref[...].astype(jnp.float32)
 
@@ -127,7 +159,9 @@ def _attn_math_q8(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
     # per-head V scales expanded to F lanes (powers of two: exact in bf16)
     vsf = jax.lax.dot(ev.reshape(C * Mc, H).astype(jnp.bfloat16), hm.T,
                       preferred_element_type=jnp.float32).reshape(C, Mc, F)
-    vv = jnp.where(slot_m == t - 1, kvg_v[:, None, :], vsf * v8)
+    vv = jnp.where(slot_m == t - 1,
+                   kvg_v.astype(jnp.float32)[:, None, :],
+                   vsf * v8.astype(jnp.float32))
     out = (pe * vv).sum(axis=1)
     pn = jax.lax.dot(probs[:, Mc].astype(jnp.bfloat16), hm.T,
                      preferred_element_type=jnp.float32)           # [C, F]
@@ -162,14 +196,24 @@ def _attn_math(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
     # bf16 tolerance — f32 models keep exact-parity f32 dots).
     dot_dt = buf.dtype
     hm = head_mask.astype(dot_dt)
-    kq = (k_hist.astype(jnp.float32)
-          * q32[:, None, :]).reshape(C * Mc, F)
+    if dot_dt == jnp.float32:
+        # exact path (CPU parity tests with f32 models)
+        kq = (k_hist.astype(jnp.float32)
+              * q32[:, None, :]).reshape(C * Mc, F)
+        kn = k_new = kvnew_ref[0][:, :F].astype(jnp.float32) * q32
+    else:
+        # bf16 models: form the products directly in bf16 — the f32
+        # [C, Mc, F] intermediates otherwise blow the 16 MB scoped-VMEM
+        # stack for wide rows (t5-3b F=4096); same rounding class as
+        # f32-multiply-then-round (~1e-3 relative)
+        qb = q_ref[0].astype(dot_dt)
+        kq = (k_hist * qb[:, None, :]).reshape(C * Mc, F)
+        kn = kvnew_ref[0][:, :F] * qb
+    v_new = kvnew_ref[0][:, F:]
     s_hist = jax.lax.dot(kq.astype(dot_dt), hm,
                          preferred_element_type=jnp.float32).reshape(C, Mc, H)
     s_hist = s_hist + bias_hist_ref[...].astype(jnp.float32)[None]
-    k_new = kvnew_ref[0][:, :F]
-    v_new = kvnew_ref[0][:, F:]
-    s_new = jax.lax.dot((k_new.astype(jnp.float32) * q32).astype(dot_dt), hm,
+    s_new = jax.lax.dot(kn.astype(dot_dt), hm,
                         preferred_element_type=jnp.float32)        # [C, H]
     s_new = s_new + bias_new_ref[...].astype(jnp.float32)
 
@@ -177,7 +221,11 @@ def _attn_math(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
     probs = jax.nn.softmax(scores, axis=1)           # [C, Mc+1, H]
     pe = jax.lax.dot(probs[:, :Mc].reshape(C * Mc, H).astype(dot_dt), hm.T,
                      preferred_element_type=jnp.float32).reshape(C, Mc, F)
-    out = (pe * v_hist.astype(jnp.float32)).sum(axis=1)
+    if dot_dt == jnp.float32:
+        out = (pe * v_hist.astype(jnp.float32)).sum(axis=1)
+    else:
+        out = jnp.sum(pe.astype(dot_dt) * v_hist, axis=1,
+                      dtype=jnp.float32)
     pn = jax.lax.dot(probs[:, Mc].astype(dot_dt), hm.T,
                      preferred_element_type=jnp.float32)           # [C, F]
     return out + pn * v_new.astype(jnp.float32)
@@ -186,7 +234,7 @@ def _attn_math(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
 def _kernel(src_ref, lt_ref, q_ref, kvnew_ref, kvg_ref, bias_hist_ref,
             bias_new_ref, cache_ref, dst_ref, cache_out_ref, attn_ref,
             buf, isems, osems, *, num_heads: int, write_back: bool,
-            pipelined: bool, quantized: bool):
+            pipelined: bool, quantized: bool, chunk: int):
     """Grid cell body. ``pipelined``: double-buffer the row DMAs across grid
     cells — cell i+1's gather reads are issued before cell i's compute, and
     cell i's writeback is only waited when its buffer half is next reused —
@@ -206,31 +254,31 @@ def _kernel(src_ref, lt_ref, q_ref, kvnew_ref, kvg_ref, bias_hist_ref,
     cur = jax.lax.rem(i, 2)
     nxt = 1 - cur
 
-    # One semaphore per buffer slot, shared by all CHUNK row DMAs (per-row
-    # semaphores exhaust the TPU's tiny sflag space past ~CHUNK 100). A
+    # One semaphore per buffer slot, shared by all chunk row DMAs (per-row
+    # semaphores exhaust the TPU's tiny sflag space past ~chunk 100). A
     # shared sem means completions are anonymous: ALL of a slot's in-DMAs
     # are waited before any row is touched.
     def issue_ins(b2, c2, s2):
-        for j in range(CHUNK):
-            row = src_ref[b2, c2 * CHUNK + j]
+        for j in range(chunk):
+            row = src_ref[b2, c2 * chunk + j]
             pltpu.make_async_copy(cache_ref.at[l, b2, row],
                                   buf.at[s2, j], isems.at[s2]).start()
 
     def wait_ins(s2):
-        for j in range(CHUNK):
-            pltpu.make_async_copy(cache_ref.at[l, b, src_ref[b, c * CHUNK + j]],
+        for j in range(chunk):
+            pltpu.make_async_copy(cache_ref.at[l, b, src_ref[b, c * chunk + j]],
                                   buf.at[s2, j], isems.at[s2]).wait()
 
-    wg = WGROUP if CHUNK % WGROUP == 0 else 1
+    wg = WGROUP if chunk % WGROUP == 0 else 1
 
     def wait_outs(s2):
         # reconstructed descriptors: a DMA wait only consumes the semaphore
         # by the transfer size, so same-shaped refs stand in for the
         # originals issued in an earlier grid cell
-        for j in range(0, CHUNK, wg):
+        for j in range(0, chunk, wg):
             pltpu.make_async_copy(
                 buf.at[s2, pl.ds(j, wg)],
-                cache_out_ref.at[l, b, pl.ds(c * CHUNK + j, wg)],
+                cache_out_ref.at[l, b, pl.ds(c * chunk + j, wg)],
                 osems.at[s2]).wait()
 
     if pipelined:
@@ -265,10 +313,10 @@ def _kernel(src_ref, lt_ref, q_ref, kvnew_ref, kvg_ref, bias_hist_ref,
             ins_row = kvg_ref[0]
         buf[cur] = jnp.where(slot[None] == t - 1, ins_row[:, None, :],
                              buf[cur])
-        for j in range(0, CHUNK, wg):
+        for j in range(0, chunk, wg):
             pltpu.make_async_copy(
                 buf.at[cur, pl.ds(j, wg)],
-                cache_out_ref.at[l, b, pl.ds(c * CHUNK + j, wg)],
+                cache_out_ref.at[l, b, pl.ds(c * chunk + j, wg)],
                 osems.at[cur]).start()
 
     math_fn = _attn_math_q8 if quantized else _attn_math
@@ -285,10 +333,12 @@ def _kernel(src_ref, lt_ref, q_ref, kvnew_ref, kvg_ref, bias_hist_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "write_back", "interpret"))
+    jax.jit,
+    static_argnames=("num_heads", "write_back", "interpret", "chunk"))
 def step_attend_reorder(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
                         bias_hist, bias_new, num_heads: int,
-                        write_back: bool = True, interpret: bool = None):
+                        write_back: bool = True, interpret: bool = None,
+                        chunk: int = None):
     """Fused gather + one-position cached self-attention + deferred-reorder
     writeback for ONE decoder layer over the K|V-merged cache.
 
@@ -319,8 +369,10 @@ def step_attend_reorder(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
     assert kv_new.shape == (B, N, 2 * F), kv_new.shape
     assert kvg.shape == (B, N, L * 2 * F), kvg.shape
     assert src.shape == (B, N), src.shape
-    if N % CHUNK != 0:
-        pad = CHUNK - N % CHUNK
+    if chunk is None:
+        chunk = pick_chunk(Mc, RW, cache_src.dtype.itemsize)
+    if N % chunk != 0:
+        pad = chunk - N % chunk
         padded = step_attend_reorder(
             jnp.pad(q, ((0, 0), (0, pad), (0, 0))),
             jnp.pad(kv_new, ((0, 0), (0, pad), (0, 0))),
@@ -329,25 +381,25 @@ def step_attend_reorder(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
             jnp.pad(cache_dst, ((0, 0),) * 2 + ((0, pad), (0, 0), (0, 0))),
             jnp.pad(src, ((0, 0), (0, pad))),
             layer, t, bias_hist, bias_new, num_heads,
-            write_back=write_back, interpret=interpret)
+            write_back=write_back, interpret=interpret, chunk=chunk)
         attn, cache = padded
         return attn[:, :N], cache[:, :, :N]
 
     kernel = functools.partial(_kernel, num_heads=num_heads,
                                write_back=write_back,
                                pipelined=not interpret,
-                               quantized=quantized)
+                               quantized=quantized, chunk=chunk)
     lt = jnp.stack([jnp.asarray(layer, jnp.int32),
                     jnp.asarray(t, jnp.int32)]).reshape(2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, N // CHUNK),
+        grid=(B, N // chunk),
         in_specs=[
-            pl.BlockSpec((1, CHUNK, F), lambda b, c, s, lt_: (b, c, 0)),
-            pl.BlockSpec((1, CHUNK, 2 * F), lambda b, c, s, lt_: (b, c, 0)),
+            pl.BlockSpec((1, chunk, F), lambda b, c, s, lt_: (b, c, 0)),
+            pl.BlockSpec((1, chunk, 2 * F), lambda b, c, s, lt_: (b, c, 0)),
             # kvg is [B, N, L*2F]; block index lt_[0] slices THIS layer's
             # [2F] span out of the layer-major row
-            pl.BlockSpec((1, CHUNK, 2 * F), lambda b, c, s, lt_: (b, c, lt_[0])),
+            pl.BlockSpec((1, chunk, 2 * F), lambda b, c, s, lt_: (b, c, lt_[0])),
             pl.BlockSpec((Mc, num_heads), lambda b, c, s, lt_: (0, 0)),
             pl.BlockSpec((1, num_heads), lambda b, c, s, lt_: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -355,10 +407,10 @@ def step_attend_reorder(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, CHUNK, F), lambda b, c, s, lt_: (b, c, 0)),
+            pl.BlockSpec((1, chunk, F), lambda b, c, s, lt_: (b, c, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, Mc, RW), cache_src.dtype),
+            pltpu.VMEM((2, chunk, Mc, RW), cache_src.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

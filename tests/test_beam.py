@@ -144,6 +144,25 @@ def test_deferred_reorder_matches_xla_path():
     np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
 
 
+def test_pick_chunk_fits_vmem_budget():
+    """Chunk selection must keep the kernel (double row buffer + attention
+    temporaries) within the 16 MB scoped-VMEM stack for every geometry.
+    Row widths are in ELEMENTS (2*inner_dim, + 128 scale cols for int8).
+    Throughput is flat in chunk on v5e so conservative choices are free."""
+    from ripor_tpu.ops.attend_reorder import _VMEM_BUDGET, pick_chunk
+    assert pick_chunk(32, 1536, 2) == 40          # t5-base bf16
+    assert pick_chunk(32, 1664, 1) == 40          # t5-base int8
+    assert pick_chunk(16, 1664, 1) == 40          # 16x1024 variant int8
+    c3b = pick_chunk(32, 8192, 2)                 # t5-3b bf16 (F=4096)
+    assert c3b == 8 and 2 * c3b * 32 * 8192 * 2 <= _VMEM_BUDGET
+    for mc in (8, 16, 24, 32):
+        for rw, isz in ((1024, 2), (1536, 2), (1664, 1), (2048, 2),
+                        (8192, 2), (8320, 1)):
+            c = pick_chunk(mc, rw, isz)
+            assert c % 8 == 0 and 8 <= c <= 40
+            assert c == 8 or 2 * c * mc * rw * isz <= _VMEM_BUDGET
+
+
 def test_deferred_int8_cache_close_to_xla_path():
     """The int8-quantized KV cache (per-head power-of-2 scales,
     ops/attend_reorder.py::_attn_math_q8 in interpret mode) must stay
