@@ -69,7 +69,10 @@ class Encoder(nn.Module):
     def setup(self):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         self.rel_bias = RelativePositionBias(self.cfg, bidirectional=True, **kw)
-        self.layers = [EncoderLayer(self.cfg, name=f"layer_{i}", **kw)
+        layer_cls = EncoderLayer
+        if self.cfg.remat_layers:   # deterministic (argnum 3) is static
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+        self.layers = [layer_cls(self.cfg, name=f"layer_{i}", **kw)
                        for i in range(self.cfg.num_layers)]
         self.final_norm = RMSNorm(self.cfg.d_model, self.cfg.layer_norm_epsilon, **kw)
         self.dropout = nn.Dropout(self.cfg.dropout_rate)
@@ -79,7 +82,7 @@ class Encoder(nn.Module):
         bias = self.rel_bias(L, L) + padding_bias(mask).astype(jnp.float32)
         x = self.dropout(embeds, deterministic=deterministic)
         for layer in self.layers:
-            x = layer(x, bias, deterministic=deterministic)
+            x = layer(x, bias, deterministic)
         x = self.final_norm(x)
         return self.dropout(x, deterministic=deterministic)
 
@@ -200,7 +203,10 @@ class Decoder(nn.Module):
     def setup(self):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         self.rel_bias = RelativePositionBias(self.cfg, bidirectional=False, **kw)
-        self.layers = [DecoderLayer(self.cfg, name=f"layer_{i}", **kw)
+        layer_cls = DecoderLayer
+        if self.cfg.remat_layers:   # deterministic (argnum 5) is static
+            layer_cls = nn.remat(DecoderLayer, static_argnums=(5,))
+        self.layers = [layer_cls(self.cfg, name=f"layer_{i}", **kw)
                        for i in range(self.cfg.num_decoder_layers)]
         self.final_norm = RMSNorm(self.cfg.d_model, self.cfg.layer_norm_epsilon, **kw)
         self.dropout = nn.Dropout(self.cfg.dropout_rate)
@@ -211,7 +217,7 @@ class Decoder(nn.Module):
         cross_bias = padding_bias(enc_mask).astype(jnp.float32)
         x = self.dropout(embeds, deterministic=deterministic)
         for layer in self.layers:
-            x = layer(x, enc, self_bias, cross_bias, deterministic=deterministic)
+            x = layer(x, enc, self_bias, cross_bias, deterministic)
         x = self.final_norm(x)
         return self.dropout(x, deterministic=deterministic)
 

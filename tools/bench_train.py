@@ -19,9 +19,14 @@ from ripor_tpu.train import TrainConfig
 from ripor_tpu.train.trainer import TrainState, make_optimizer, make_train_step
 
 cfg = ripor_base(M=32, K=256)
+if os.environ.get("BENCH_TRAIN_REMAT", "") == "1":
+    import dataclasses
+    cfg = dataclasses.replace(cfg, t5=dataclasses.replace(cfg.t5,
+                                                          remat_layers=True))
 model = RiporModel(cfg, dtype=jnp.bfloat16)
 rng = np.random.default_rng(0)
-B, S = 256, 64
+B = int(os.environ.get("BENCH_TRAIN_BATCH", 256))
+S = int(os.environ.get("BENCH_TRAIN_SEQ", 64))
 ids = jnp.asarray(rng.integers(1, 32000, (B, S)), jnp.int32)
 mask = jnp.ones_like(ids)
 codes = jnp.asarray(rng.integers(0, 256, (B, 32)), jnp.int32)
