@@ -88,6 +88,44 @@ def _trie_child(tables, state, tok):
     return tables.edge_child[e]
 
 
+def _exact_topk_two_stage(cand, Np: int, K: int, C: int = 8):
+    """EXACT top-Np over cand [B, Np, K] flattened, with a cheap fast path.
+
+    The full ``lax.top_k`` over Np*K (~256k) elements costs ~7.5 ms at
+    batch 8 on v5e (17% of a decode step). Stage 1 takes each beam's
+    top-C (tiny per-row sorts); stage 2 merges the [Np*C] survivors.
+    The result equals the full top-k UNLESS some beam's C-th best still
+    beats the merged Np-th score — then candidates beyond that beam's
+    top-C could belong in the answer, and a ``lax.cond`` falls back to
+    the full sort. Early decode steps (one live beam holding up to K
+    winners) take the fallback automatically; spread-out later steps
+    take the fast path. Exactness is verified, not assumed.
+
+    Tie caveat: among exactly-equal scores the selection may differ from
+    the single-sort order (relevant only to NEG_INF dead-beam filler,
+    which the beam loop kills regardless).
+    """
+    B = cand.shape[0]
+    C = min(C, K)
+    if Np * C >= Np * K // 2:      # tiny vocab: two stages can't win
+        return jax.lax.top_k(cand.reshape(B, Np * K), Np)
+    vb, ib = jax.lax.top_k(cand, C)                    # [B, Np, C]
+    v2, i2 = jax.lax.top_k(vb.reshape(B, Np * C), Np)  # [B, Np]
+    src2 = i2 // C
+    tok2 = jnp.take_along_axis(ib.reshape(B, Np * C), i2, axis=1)
+    thresh = v2[:, Np - 1]                             # [B]
+    need_full = jnp.any(vb[:, :, C - 1] > thresh[:, None])
+
+    def full(_):
+        v, i = jax.lax.top_k(cand.reshape(B, Np * K), Np)
+        return v, i
+
+    def fast(_):
+        return v2, src2 * K + tok2
+
+    return jax.lax.cond(need_full, full, fast, None)
+
+
 def _reorder_cache(cache, src_beam, use_pallas: bool = True,
                    kv_new=None, t=None, dest=None):
     """Gather the stacked KV cache [L, 2, B, N, Mc, H*D] along the beam
@@ -217,7 +255,7 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             # keep dead beams dead (NEG_INF + logit could exceed NEG_INF)
             cand = jnp.where(beam_scores[:, :, None] <= NEG_INF / 2,
                              NEG_INF, cand)
-            new_scores, idx = jax.lax.top_k(cand.reshape(B, Np * K), Np)
+            new_scores, idx = _exact_topk_two_stage(cand, Np, K)
             if Np != N:   # padded beam ranks die every step (exact width-N)
                 kill = jnp.arange(Np)[None, :] >= N
                 new_scores = jnp.where(kill, NEG_INF, new_scores)

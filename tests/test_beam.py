@@ -144,6 +144,33 @@ def test_deferred_reorder_matches_xla_path():
     np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
 
 
+def test_exact_topk_two_stage_matches_full_sort():
+    """The two-stage top-k must equal the full sort exactly — including
+    the adversarial case where one beam holds more than C winners (the
+    verified fallback path)."""
+    from ripor_tpu.decode.beam import NEG_INF, _exact_topk_two_stage
+    rng = np.random.default_rng(0)
+    B, Np, K = 2, 24, 64   # C=8 < K//2 so the two-stage path is exercised
+    # spread case: fast path
+    cand = jnp.asarray(rng.standard_normal((B, Np, K)), jnp.float32)
+    v2, i2 = _exact_topk_two_stage(cand, Np, K)
+    vf, if_ = jax.lax.top_k(cand.reshape(B, Np * K), Np)
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(vf))
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(if_))
+    # adversarial: beam 3 dominates with > C winners -> fallback must fire
+    cand = jnp.full((B, Np, K), NEG_INF, jnp.float32)
+    cand = cand.at[:, 3, :].set(
+        jnp.asarray(100 + rng.standard_normal((B, K)), jnp.float32))
+    cand = cand.at[:, 7, :4].set(
+        jnp.asarray(rng.standard_normal((B, 4)), jnp.float32))
+    assert K > 2 * 8, "geometry must exercise the two-stage path"
+    v2, i2 = _exact_topk_two_stage(cand, Np, K)
+    vf, if_ = jax.lax.top_k(cand.reshape(B, Np * K), Np)
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(vf))
+    live = np.asarray(vf) > NEG_INF / 2
+    np.testing.assert_array_equal(np.asarray(i2)[live], np.asarray(if_)[live])
+
+
 def test_pick_chunk_fits_vmem_budget():
     """Chunk selection must keep the kernel (double row buffer + attention
     temporaries) within the 16 MB scoped-VMEM stack for every geometry.
