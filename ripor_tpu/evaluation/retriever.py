@@ -21,12 +21,32 @@ from ripor_tpu.core.mesh import DATA_AXIS
 from ripor_tpu.models.ripor import RiporModel
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _topk_block(queries, docs, k):
-    """queries [Q, d] x docs [N, d] -> (scores [Q, k], idx [Q, k])."""
+@functools.partial(jax.jit, static_argnames=("k", "approx"))
+def _topk_block(queries, docs, k, approx: bool = False):
+    """queries [Q, d] x docs [N, d] -> (scores [Q, k], idx [Q, k]).
+
+    XLA's top_k lowers to a bitonic sort whose cost scales with the full
+    [Q, N] score volume x log^2(N) — the dominant cost at N ~ 1M. Exact
+    path: two-level tiled top-k (per-2048-tile top-k, then a merge over
+    [N/2048*k] survivors) — exact because every tile keeps its own top-k,
+    and any global winner is a winner within its tile; ~4x shallower sort
+    networks. ``approx``: jax.lax.approx_max_k (TPU PartialReduce,
+    recall ~0.95) for serving paths that tolerate it."""
     scores = jnp.einsum("qd,nd->qn", queries, docs,
                         preferred_element_type=jnp.float32)
-    return jax.lax.top_k(scores, k)
+    Q, N = scores.shape
+    if approx:
+        return jax.lax.approx_max_k(scores, k)
+    TILE = 2048
+    if N % TILE != 0 or N <= 2 * TILE or k > TILE:
+        return jax.lax.top_k(scores, k)
+    nt = N // TILE
+    ts, ti = jax.lax.top_k(scores.reshape(Q * nt, TILE), k)
+    base = (jnp.arange(nt, dtype=jnp.int32) * TILE)[None, :, None]
+    cand_i = (ti.reshape(Q, nt, k) + base).reshape(Q, nt * k)
+    cand_s = ts.reshape(Q, nt * k)
+    gs, gsel = jax.lax.top_k(cand_s, k)
+    return gs, jnp.take_along_axis(cand_i, gsel, axis=1)
 
 
 def dense_topk(queries: np.ndarray, docs: np.ndarray, k: int,
@@ -43,8 +63,14 @@ def dense_topk(queries: np.ndarray, docs: np.ndarray, k: int,
 
     best_s = np.full((queries.shape[0], k), -np.inf, np.float32)
     best_i = np.zeros((queries.shape[0], k), np.int64)
+    on_device = isinstance(docs, jax.Array)
     for s in range(0, n, block_docs):
-        blk = jnp.asarray(np.asarray(docs[s:s + block_docs], np.float32))
+        # device-resident corpora (the serving case) slice in place; host
+        # arrays upload block by block
+        if on_device:
+            blk = docs[s:s + block_docs]
+        else:
+            blk = jnp.asarray(np.asarray(docs[s:s + block_docs], np.float32))
         kk = min(k, blk.shape[0])
         bs, bi = _topk_block(queries, blk, kk)
         bs, bi = np.asarray(bs), np.asarray(bi) + s
