@@ -95,7 +95,8 @@ def main():
             fn = beam_mod.make_beam_search_fn(
                 cfg, num_beams, constrained=constrained,
                 dtype=jnp.bfloat16, cache_segments=segments,
-                deferred=deferred)
+                deferred=deferred,
+                kv_cache_int8=os.environ.get("BENCH_ABLATE_INT8") == "1")
             t0 = time.time()
             s, c, st = fn(params, ids, mask, tables)
             np.asarray(s)
@@ -168,7 +169,7 @@ def main():
 
     def fake_sar(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
                  bias_hist, bias_new, num_heads, write_back=True,
-                 interpret=None):
+                 interpret=None, chunk=None):
         return q, cache_dst
 
     import ripor_tpu.ops.beam_gather as bg_mod
@@ -184,10 +185,10 @@ def main():
 
     def no_writeback_sar(q, kv_new, kvg, cache_src, cache_dst, src, layer,
                          t, bias_hist, bias_new, num_heads, write_back=True,
-                         interpret=None):
+                         interpret=None, chunk=None):
         return real_sar(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
                         bias_hist, bias_new, num_heads,
-                        write_back=False, interpret=interpret)
+                        write_back=False, interpret=interpret, chunk=chunk)
 
     variants = [
         ("full", dict()),
