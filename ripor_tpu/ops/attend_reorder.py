@@ -77,9 +77,10 @@ def pick_chunk(mc_max: int, row_width: int, itemsize: int) -> int:
     return max(8, (c // 8) * 8)
 # writeback rows per DMA descriptor. The gather READ is per-row by nature
 # (scattered sources) but the writeback destination rows are CONTIGUOUS
-# (dest index = c*CHUNK + j), so grouping rows per descriptor cuts the
-# scalar-core DMA-issue cost — the kernel is descriptor-issue bound, not
-# bandwidth bound (see tools/bench_decode_ablate.py).
+# (dest index = c*CHUNK + j), so they can share descriptors. Measured
+# NEUTRAL on v5e at t5-base rows (the per-row DMA path is bandwidth/
+# latency-bound, not issue-bound) — kept because fewer descriptors cost
+# nothing and relieve queue pressure for bigger geometries.
 WGROUP = int(os.environ.get("RIPOR_AR_WGROUP", "8"))
 # int8 cache rows append this many int8 columns; the first 2H hold the
 # per-head power-of-2 quantization exponents (K heads then V heads)
@@ -118,7 +119,6 @@ def _attn_math_q8(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
     C, F = q_ref.shape[1], q_ref.shape[2]
     Mc = buf.shape[1]
     H = num_heads
-    q32 = q_ref[0].astype(jnp.float32)                   # [C, F]
     head_of = jax.lax.broadcasted_iota(jnp.int32, (F, H), 0) // (F // H)
     head_mask = (head_of == jax.lax.broadcasted_iota(jnp.int32, (F, H), 1))
     hm = head_mask.astype(jnp.bfloat16)
@@ -345,8 +345,7 @@ def step_attend_reorder(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
     q: [B, N, F]; kv_new: [B, N, 2F] position-t K|V for CURRENT beams;
     kvg: [B, N, L*2F] step t-1's K|V for ALL layers permuted to current
     beam order, layer-major within the row — the beam.py gather moves one
-    36 KB row per beam instead of L separate 3 KB rows (12x fewer DMA
-    descriptors; the gather is descriptor-issue bound), and this kernel
+    36 KB row per beam instead of L separate 3 KB rows, and this kernel
     slices its own layer out via a scalar-prefetch-dependent block index;
     cache_src: [L, B, N, Mc, 2F] ordered for the previous step's beams
     (slots [0, t-1) valid); cache_dst: ping-pong partner, receives rows
