@@ -154,15 +154,15 @@ def _attn_math_q8(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
 
     scores = jnp.concatenate([s_hist, s_new[:, None, :]], axis=1)
     probs = jax.nn.softmax(scores, axis=1)               # [C, Mc+1, H]
-    pe = jax.lax.dot(probs[:, :Mc].reshape(C * Mc, H).astype(jnp.bfloat16),
+    # fold the per-(slot, head) V scale into the probs BEFORE the head
+    # expansion: out_f = sum_m probs[c,m,h(f)] * 2^ev[c,m,h(f)] * v8 —
+    # saves a second [H, F] expansion dot and a f32 [C, Mc, F] multiply.
+    # Slot t-1 uses the exact bf16 kvg_v, so its scale is 1.
+    ps = probs[:, :Mc] * jnp.where(slot_m == t - 1, 1.0, ev)
+    pe = jax.lax.dot(ps.reshape(C * Mc, H).astype(jnp.bfloat16),
                      hm.T, preferred_element_type=jnp.float32).reshape(C, Mc, F)
-    # per-head V scales expanded to F lanes (powers of two: exact in bf16)
-    vsf = jax.lax.dot(ev.reshape(C * Mc, H).astype(jnp.bfloat16), hm.T,
-                      preferred_element_type=jnp.float32).reshape(C, Mc, F)
-    vv = jnp.where(slot_m == t - 1,
-                   kvg_v.astype(jnp.float32)[:, None, :],
-                   vsf * v8.astype(jnp.float32))
-    out = (pe * vv).sum(axis=1)
+    vb = jnp.where(slot_m == t - 1, kvg_v[:, None, :], v8)   # bf16
+    out = jnp.sum(pe.astype(jnp.bfloat16) * vb, axis=1, dtype=jnp.float32)
     pn = jax.lax.dot(probs[:, Mc].astype(jnp.bfloat16), hm.T,
                      preferred_element_type=jnp.float32)           # [C, F]
     return out + pn * v_new.astype(jnp.float32)

@@ -77,7 +77,8 @@ def main():
 
     def run_variant(name, constrained=True, segments=4, attn=None,
                     reorder=None, topk=None, kernel=None, sar=None,
-                    chunk=None, deferred=None, bgr=None, finish=None):
+                    chunk=None, deferred=None, bgr=None, finish=None,
+                    ar_math=None):
         import ripor_tpu.ops.beam_gather as bg_mod
         from ripor_tpu.models.t5 import DecoderLayer
         sa_mod.step_attention_fused = attn or real_attn
@@ -88,6 +89,8 @@ def main():
         ar_mod.CHUNK = chunk or real_chunk
         bg_mod.beam_gather_rows = bgr or real_bgr
         DecoderLayer.step_finish_with_attn = finish or real_finish
+        ar_mod._attn_math_q8 = ar_math or real_math_q8
+        ar_mod._attn_math = ar_math or real_math
         if topk is not None:
             jax.lax.top_k = topk
         jax.clear_caches()  # step_attention_fused is @jit: force a retrace
@@ -118,6 +121,8 @@ def main():
             sa_mod._fused_kernel = real_kernel
             ar_mod.step_attend_reorder = real_sar
             ar_mod.CHUNK = real_chunk
+            ar_mod._attn_math_q8 = real_math_q8
+            ar_mod._attn_math = real_math
             bg_mod.beam_gather_rows = real_bgr
             DecoderLayer.step_finish_with_attn = real_finish
             jax.lax.top_k = real_topk
@@ -176,6 +181,16 @@ def main():
     real_bgr = bg_mod.beam_gather_rows
     from ripor_tpu.models.t5 import DecoderLayer
     real_finish = DecoderLayer.step_finish_with_attn
+    real_math_q8 = ar_mod._attn_math_q8
+    real_math = ar_mod._attn_math
+
+    def stub_math(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
+                  buf, t, num_heads):
+        # keep the row DMAs + insert/writeback but skip the attention math
+        # (touch one slot so the reads cannot be elided; multi-axis sums of
+        # the 3-D buf crash Mosaic layout inference)
+        red = buf[...][:, 0, :q_ref.shape[2]].astype(jnpk.float32)
+        return q_ref[0].astype(jnpk.float32) + red * 1e-6
 
     def fake_bgr(cache, src, interpret=None):
         return cache  # skip the kvg permute (wrong results, same shapes)
@@ -207,6 +222,7 @@ def main():
         ("non_deferred", dict(deferred=False)),
         ("def_no_kvgather", dict(bgr=fake_bgr)),
         ("def_no_ffn", dict(finish=fake_finish)),
+        ("def_math_stub", dict(ar_math=stub_math)),
     ]
     results = {}
     for name, kw in variants:
