@@ -190,6 +190,27 @@ def test_pick_chunk_fits_vmem_budget():
             assert c == 8 or 2 * c * mc * rw * isz <= _VMEM_BUDGET
 
 
+def test_quantize_rows_roundtrip_error_bound():
+    """int8 row quantization (per-head power-of-2 scales) must reconstruct
+    within the 7-bit bound: |x - q8*2^e| <= 2^e / 2 <= absmax/127."""
+    from ripor_tpu.ops.attend_reorder import SCALE_COLS, _quantize_rows
+    rng = np.random.default_rng(0)
+    H, D, C = 4, 32, 16
+    x = jnp.asarray(rng.standard_normal((C, 2 * H * D)) *
+                    rng.lognormal(0, 2, (C, 1)), jnp.float32)
+    q8, epad = _quantize_rows(x, H)
+    assert q8.shape == x.shape and q8.dtype == jnp.int8
+    assert epad.shape == (C, SCALE_COLS)
+    e = np.asarray(epad, np.float32)[:, :2 * H]          # [C, 2H]
+    scale = np.exp2(e)[:, :, None]                       # [C, 2H, 1]
+    recon = (np.asarray(q8, np.float32).reshape(C, 2 * H, D) * scale)
+    xg = np.asarray(x).reshape(C, 2 * H, D)
+    absmax = np.abs(xg).max(axis=2, keepdims=True)
+    bound = np.maximum(absmax / 127.0, 1e-28)
+    assert np.all(np.abs(recon - xg) <= bound + 1e-7), \
+        np.max(np.abs(recon - xg) / bound)
+
+
 def test_deferred_int8_cache_close_to_xla_path():
     """The int8-quantized KV cache (per-head power-of-2 scales,
     ops/attend_reorder.py::_attn_math_q8 in interpret mode) must stay
