@@ -427,6 +427,7 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
                                 dtype=jnp.bfloat16,
                                 use_pallas_gather: Optional[bool] = None,
                                 cache_segments: int = 4,
+                                deferred: Optional[bool] = None,
                                 kv_cache_int8: bool = False):
     """Data-parallel constrained beam search: queries shard over the mesh's
     'data' axis, params + trie tables replicate, each device runs the full
@@ -441,6 +442,7 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
                                 max_steps=max_steps, dtype=dtype,
                                 use_pallas_gather=use_pallas_gather,
                                 cache_segments=cache_segments,
+                                deferred=deferred,
                                 kv_cache_int8=kv_cache_int8)
 
     @jax.jit

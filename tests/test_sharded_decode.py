@@ -28,3 +28,30 @@ def test_sharded_beam_search_parity(mesh8):
     np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_1), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(c_sh), np.asarray(c_1))
     np.testing.assert_array_equal(np.asarray(st_sh), np.asarray(st_1))
+
+
+def test_sharded_beam_search_int8_cache(mesh8):
+    """The data-parallel path composes with the int8 KV cache (deferred
+    kernel in interpret mode): top-1 beams must match the exact path."""
+    cfg = ripor_small(M=4, K=8)
+    model = RiporModel(cfg)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(1, 100, (8, 6)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids, mask,
+                        jnp.zeros((8, 4), jnp.int32))["params"]
+    trie = build_trie(rng.integers(0, 8, (50, 4)), 8)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+
+    run_q8 = make_sharded_beam_search_fn(cfg, 5, mesh8, dtype=jnp.float32,
+                                         use_pallas_gather=False,
+                                         deferred=True, kv_cache_int8=True,
+                                         cache_segments=2)  # even spans
+    run_1 = make_beam_search_fn(cfg, 5, dtype=jnp.float32,
+                                use_pallas_gather=False)
+    s_q8, c_q8, _ = run_q8(params, ids, mask, tables)
+    s_1, c_1, _ = run_1(params, ids, mask, tables)
+    live = np.asarray(s_1) > -1e29
+    np.testing.assert_allclose(np.asarray(s_q8)[live], np.asarray(s_1)[live],
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_array_equal(np.asarray(c_q8)[:, 0], np.asarray(c_1)[:, 0])
