@@ -47,6 +47,9 @@ def _load_workspace_model(ws_dir: str, phase: str = "final"):
 
 
 def cmd_retrieve(args):
+    """Constrained-beam retrieval; with --nranks > 1, each rank decodes its
+    strided query slice and writes run_{rank}.json for ``retrieve-merge``
+    (reference DDP decode, evaluate.py:457-487)."""
     import jax.numpy as jnp
     from ripor_tpu.data import Collection, UnigramTokenizer, load_docid_to_smtid
     from ripor_tpu.pipeline.recipe import Workspace, stage_build_trie, stage_retrieve
@@ -56,10 +59,46 @@ def cmd_retrieve(args):
     docids, codes = load_docid_to_smtid(ws.path("docid_to_smtid.json"))
     trie = stage_build_trie(ws, codes, cfg.K)
     queries = Collection(args.queries)
+    run_name = args.run_name
+    if args.nranks > 1:
+        queries = queries.shard(args.rank, args.nranks)
+        stem, dot, ext = args.run_name.partition(".")
+        run_name = f"{stem}_{args.rank}{dot}{ext}"
     run = stage_retrieve(ws, cfg, params, tok, queries, trie, docids,
                          num_beams=args.beam, topk=args.topk,
-                         run_name=args.run_name)
-    print(f"wrote {ws.path(args.run_name)} ({len(run)} queries)")
+                         run_name=run_name)
+    print(f"wrote {ws.path(run_name)} ({len(run)} queries)")
+
+
+def cmd_retrieve_merge(args):
+    """Merge per-rank run_{rank}.json shards -> run.json (reference
+    t5seq_aq_retrieve_docids_2, evaluate.py:489-526: qid-disjoint union;
+    same-qid shards merge their doc dicts)."""
+    from ripor_tpu.pipeline.recipe import Workspace
+
+    ws = Workspace(args.workspace)
+    stem, dot, ext = args.run_name.partition(".")
+    merged = {}
+    found = []
+    for rank in range(args.nranks):
+        p = ws.path(f"{stem}_{rank}{dot}{ext}")
+        if not p.exists():
+            raise SystemExit(f"missing shard {p} (expected {args.nranks})")
+        found.append(p)
+        with open(p) as f:
+            sub = json.load(f)
+        for qid, rankdata in sub.items():
+            if qid in merged:
+                merged[qid].update(rankdata)
+            else:
+                merged[qid] = rankdata
+    out = ws.path(args.run_name)
+    with open(out, "w") as f:
+        json.dump(merged, f)
+    if not args.keep_shards:
+        for p in found:
+            p.unlink()
+    print(f"wrote {out} ({len(merged)} queries from {args.nranks} shards)")
 
 
 def cmd_e2e(args):
@@ -232,6 +271,17 @@ def cmd_rerank(args):
     print(f"wrote {args.out} ({len(scored)} queries)")
 
 
+def cmd_full_recipe(args):
+    """Phases 1-3 end-to-end (reference full_scripts/full_lng_knp_train_
+    pipline.sh chain) with per-phase metrics printed."""
+    from ripor_tpu.pipeline.full_recipe import run_full_recipe
+    overrides = json.loads(Path(args.config).read_text()) if args.config else {}
+    metrics = run_full_recipe(workspace=args.workspace, docs_dir=args.docs,
+                              queries_dir=args.queries, qrel_path=args.qrel,
+                              **overrides)
+    print(json.dumps(metrics, indent=2))
+
+
 def cmd_train(args):
     from ripor_tpu.pipeline.e2e import run_train_from_config
     cfg = json.loads(Path(args.config).read_text())
@@ -248,17 +298,21 @@ def cmd_pipeline(args):
 
 
 def cmd_datagen(args):
-    """Phase-3 flywheel: D^B beam prefix candidates + D^R grouping +
-    decay merge + lng_knp score attachment (replaces the reference's
-    t5seq_aq_get_qid_to_smtid_rankdata + aq_preprocess merge scripts)."""
-    import jax.numpy as jnp
+    """Phase-3 flywheel: D^B beam prefix candidates + D^R grouping, teacher
+    rescoring of EVERY (query, prefix, docid) triple, then decay merge +
+    lng_knp score attachment (replaces the reference's
+    t5seq_aq_get_qid_to_smtid_rankdata + cross_encoder_rerank_for_
+    qid_smtid_docids + aq_preprocess merge scripts; rerank.py:587-654).
+
+    Teacher: ``--teacher bert --teacher-ckpt DIR`` uses a BertCrossEncoder
+    checkpoint (the reference's MiniLM role); the default ``--teacher self``
+    scores pairs with the phase model's own rerank_score (self-distillation).
+    Either way every doc carries a true teacher score — no 0.0 defaults."""
     from ripor_tpu.data import Collection, UnigramTokenizer, load_docid_to_smtid
-    from ripor_tpu.pipeline.datagen import (
-        attach_lng_knp_scores, group_docids_by_prefix,
-        merge_rankdata_with_decay, prefix_smtid_strings)
+    from ripor_tpu.evaluation.reranker import (
+        load_bert_teacher, rerank_pairs, self_rerank_pair_scores)
     from ripor_tpu.pipeline.flywheel import (
-        beam_prefix_candidates, read_jsonl, write_jsonl)
-    from ripor_tpu.pipeline.recipe import Workspace
+        datagen_round, read_jsonl, write_jsonl)
 
     ws, cfg, model, params = _load_workspace_model(args.workspace, args.phase)
     tok = UnigramTokenizer.load(ws.path("tokenizer.json"))
@@ -267,33 +321,29 @@ def cmd_datagen(args):
     teacher_examples = read_jsonl(args.teacher_trainset)
     qid_to_docids = {str(ex["qid"]): [str(d) for d in ex["docids"]]
                      for ex in teacher_examples}
-    qid_to_scores = {str(ex["qid"]): dict(zip(map(str, ex["docids"]),
-                                              ex["scores"]))
-                     for ex in teacher_examples}
+    d2c = dict(zip(docids, codes))
+
+    if args.teacher == "bert":
+        if not args.teacher_ckpt:
+            raise SystemExit("--teacher bert requires --teacher-ckpt")
+        docs_coll = Collection(args.docs)
+        score_fn = load_bert_teacher(args.teacher_ckpt, tok.vocab_size)
+
+        def score_pairs(pairs):
+            return rerank_pairs(score_fn, tok, queries, docs_coll, pairs,
+                                batch_size=args.batch_size * 8,
+                                max_length=args.max_length)
+    else:
+        def score_pairs(pairs):
+            return self_rerank_pair_scores(
+                cfg, params, tok, queries, d2c, pairs,
+                batch_size=args.batch_size * 8, max_length=args.max_length)
 
     for plen in args.prefix_lengths:
-        p_str = prefix_smtid_strings(codes, docids, plen)
-        d_r = group_docids_by_prefix(qid_to_docids, p_str)
-        qids = [q for q in qid_to_docids if q in {str(i) for i in queries.ids}
-                or True]
-        d_b = beam_prefix_candidates(
-            cfg, params, tok, list(qid_to_docids),
-            [queries[q] for q in qid_to_docids], codes, docids,
-            prefix_len=plen, num_beams=args.beam, batch_size=args.batch_size)
-        # teacher scores: reuse the trainset's per-doc scores (a cross-encoder
-        # rescoring pass can refine these; evaluation/reranker.py)
-        def to_rankdata(groups):
-            out = {}
-            for qid, bucket in groups.items():
-                scores = qid_to_scores.get(qid, {})
-                out[qid] = {smtid: [[d, scores.get(d, 0.0)] for d in docs]
-                            for smtid, docs in bucket.items()}
-            return out
-        merged = merge_rankdata_with_decay(
-            to_rankdata(d_r), to_rankdata(d_b), max_new_token=plen,
-            decay=args.decay)
-        if plen > 4:
-            merged = attach_lng_knp_scores(merged, plen)
+        merged = datagen_round(cfg, params, tok, queries, qid_to_docids,
+                               codes, docids, score_pairs, prefix_len=plen,
+                               num_beams=args.beam,
+                               batch_size=args.batch_size, decay=args.decay)
         out_path = ws.path(f"lng_knp_qid_smtids_scores_{plen}.train.json")
         write_jsonl(out_path, merged)
         print(f"wrote {out_path} ({len(merged)} examples)")
@@ -316,7 +366,26 @@ def main(argv=None):
     pr.add_argument("--beam", type=int, default=100)
     pr.add_argument("--topk", type=int, default=100)
     pr.add_argument("--run-name", default="run.json")
+    pr.add_argument("--rank", type=int, default=0)
+    pr.add_argument("--nranks", type=int, default=1)
     pr.set_defaults(fn=cmd_retrieve)
+
+    prm = sub.add_parser("retrieve-merge",
+                         help="merge per-rank run shards -> run.json")
+    prm.add_argument("--workspace", required=True)
+    prm.add_argument("--run-name", default="run.json")
+    prm.add_argument("--nranks", type=int, required=True)
+    prm.add_argument("--keep-shards", action="store_true")
+    prm.set_defaults(fn=cmd_retrieve_merge)
+
+    pf = sub.add_parser("full-recipe", help="3-phase RIPOR recipe end-to-end")
+    pf.add_argument("--workspace", required=True)
+    pf.add_argument("--docs", required=True)
+    pf.add_argument("--queries", required=True)
+    pf.add_argument("--qrel", required=True)
+    pf.add_argument("--config", default=None,
+                    help="JSON overrides for run_full_recipe kwargs")
+    pf.set_defaults(fn=cmd_full_recipe)
 
     p2 = sub.add_parser("e2e", help="end-to-end small pipeline")
     p2.add_argument("--workspace", required=True)
@@ -415,6 +484,14 @@ def main(argv=None):
     pd.add_argument("--beam", type=int, default=100)
     pd.add_argument("--batch-size", type=int, default=4)
     pd.add_argument("--decay", type=int, default=2)
+    pd.add_argument("--teacher", choices=["self", "bert"], default="self",
+                    help="pair scorer: the phase model's own rerank_score "
+                         "(self) or a BertCrossEncoder checkpoint (bert)")
+    pd.add_argument("--teacher-ckpt", default=None,
+                    help="BertCrossEncoder checkpoint dir (teacher=bert)")
+    pd.add_argument("--docs", default=None,
+                    help="doc collection dir (required for teacher=bert)")
+    pd.add_argument("--max-length", type=int, default=64)
     pd.set_defaults(fn=cmd_datagen)
 
     args = p.parse_args(argv)

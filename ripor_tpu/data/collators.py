@@ -11,12 +11,21 @@ from typing import Dict, Iterator, Optional, Sequence, Tuple
 import numpy as np
 
 from ripor_tpu.data.datasets import (
+    BceExamples,
     Collection,
     Seq2SeqExamples,
     TeacherScoreExamples,
     parse_smtid_str,
 )
-from ripor_tpu.data.tokenizer import TextTokenizer, tokenize_docs, tokenize_queries
+from ripor_tpu.data.tokenizer import (
+    CLS_ID,
+    EOS_ID,
+    PAD_ID,
+    SEP_ID,
+    TextTokenizer,
+    tokenize_docs,
+    tokenize_queries,
+)
 
 
 def _codes_of(item, docid_to_codes: Optional[Dict[str, np.ndarray]],
@@ -116,13 +125,95 @@ class PretrainCollator:
         return batch
 
 
+class T5SeqBceCollator:
+    """Batches for t5seq_bce: (qid, docid, label) -> query tokens + the
+    doc's smtid codes + label (reference T5SeqCrossEncoder.forward inputs,
+    modeling/cross_encoder.py:75-92)."""
+
+    def __init__(self, tokenizer: TextTokenizer, queries: Collection,
+                 docid_to_codes: Dict[str, np.ndarray], max_length: int = 128):
+        self.tok = tokenizer
+        self.queries = queries
+        self.d2c = docid_to_codes
+        self.max_length = max_length
+
+    def __call__(self, samples: Sequence[Tuple[str, str, int]]
+                 ) -> Dict[str, np.ndarray]:
+        ids, mask = tokenize_queries(
+            self.tok, [self.queries[q] for q, _, _ in samples], self.max_length)
+        codes = np.stack([self.d2c[str(d)] for _, d, _ in samples])
+        return {"query_ids": ids, "query_mask": mask,
+                "codes": codes.astype(np.int32),
+                "labels": np.asarray([l for _, _, l in samples], np.float32)}
+
+
+class BertBceCollator:
+    """Batches for bert_bce: (qid, docid, label) -> [CLS] q [SEP] d [EOS]
+    pair encodings with token_type_ids (reference CrossEncoder qd_kwargs,
+    modeling/cross_encoder.py:17-23 via the HF pair tokenizer)."""
+
+    def __init__(self, tokenizer: TextTokenizer, queries: Collection,
+                 documents: Collection, max_length: int = 128):
+        self.tok = tokenizer
+        self.queries = queries
+        self.documents = documents
+        self.max_length = max_length
+
+    def __call__(self, samples: Sequence[Tuple[str, str, int]]
+                 ) -> Dict[str, np.ndarray]:
+        B, L = len(samples), self.max_length
+        ids = np.full((B, L), PAD_ID, np.int32)
+        mask = np.zeros((B, L), np.int32)
+        types = np.zeros((B, L), np.int32)
+        for i, (qid, did, _) in enumerate(samples):
+            q_ids = self.tok.encode(self.queries[qid])[: L // 3]
+            d_ids = self.tok.encode(self.documents[did])[: L - len(q_ids) - 3]
+            row = [CLS_ID] + q_ids + [SEP_ID] + d_ids + [EOS_ID]
+            ids[i, :len(row)] = row
+            mask[i, :len(row)] = 1
+            types[i, len(q_ids) + 2:len(row)] = 1  # doc segment
+        return {"input_ids": ids, "attention_mask": mask,
+                "token_type_ids": types,
+                "labels": np.asarray([l for _, _, l in samples], np.float32)}
+
+
+def batches_from_bce(examples: BceExamples, collator, batch_size: int,
+                     seed: int = 0, epochs: int = 1, drop_last: bool = True,
+                     process_index: int = 0, process_count: int = 1,
+                     start_batch: int = 0) -> Iterator[Dict]:
+    """Shuffled epoch iterator over BCE rows (same sharding contract as
+    batches_from_teacher_examples)."""
+    emitted = 0
+    for epoch in range(epochs):
+        rng = np.random.default_rng(seed + epoch)
+        order = rng.permutation(len(examples))[process_index::process_count]
+        for s in range(0, len(order) - (batch_size - 1 if drop_last else 0),
+                       batch_size):
+            idx = order[s:s + batch_size]
+            if drop_last and len(idx) < batch_size:
+                break
+            emitted += 1
+            if emitted <= start_batch:
+                continue
+            yield collator([examples[int(i)] for i in idx])
+
+
 def batches_from_teacher_examples(
         examples: TeacherScoreExamples, collator, batch_size: int,
         seed: int = 0, epochs: int = 1, drop_last: bool = True,
-        process_index: int = 0, process_count: int = 1) -> Iterator[Dict]:
+        process_index: int = 0, process_count: int = 1,
+        start_batch: int = 0) -> Iterator[Dict]:
     """Shuffled epoch iterator with per-process sharding (replaces
-    DistributedSampler; SURVEY.md §5.8)."""
+    DistributedSampler; SURVEY.md §5.8).
+
+    ``start_batch``: fast-resume — skip the first N batches at the index
+    level without tokenizing/collating them (pass Trainer.resume_step; the
+    reference fast-forwards its sampler the same way). Note negative
+    sampling draws from the same epoch rng stream as the shuffle, so the
+    skip replays sample_pair's rng draws cheaply via rng state advancement
+    on indices only."""
     prefix_keys = getattr(collator, "prefix_lengths", ())
+    emitted = 0
     for epoch in range(epochs):
         rng = np.random.default_rng(seed + epoch)
         order = rng.permutation(len(examples))
@@ -132,6 +223,13 @@ def batches_from_teacher_examples(
             idx = order[s:s + batch_size]
             if drop_last and len(idx) < batch_size:
                 break
+            emitted += 1
+            if emitted <= start_batch:
+                # keep the rng stream identical to a non-skipped run:
+                # draw (and discard) the same per-sample negatives
+                for i in idx:
+                    examples.sample_pair(int(i), rng, ())
+                continue
             samples = [examples.sample_pair(int(i), rng, prefix_keys)
                        for i in idx]
             yield collator(samples)
@@ -140,7 +238,9 @@ def batches_from_teacher_examples(
 def batches_from_seq2seq(examples: Seq2SeqExamples, collator: Seq2SeqCollator,
                          batch_size: int, seed: int = 0, epochs: int = 1,
                          drop_last: bool = True, process_index: int = 0,
-                         process_count: int = 1) -> Iterator[Dict]:
+                         process_count: int = 1,
+                         start_batch: int = 0) -> Iterator[Dict]:
+    emitted = 0
     for epoch in range(epochs):
         rng = np.random.default_rng(seed + epoch)
         order = rng.permutation(len(examples))[process_index::process_count]
@@ -149,4 +249,7 @@ def batches_from_seq2seq(examples: Seq2SeqExamples, collator: Seq2SeqCollator,
             idx = order[s:s + batch_size]
             if drop_last and len(idx) < batch_size:
                 break
+            emitted += 1
+            if emitted <= start_batch:
+                continue
             yield collator([examples[int(i)] for i in idx])

@@ -50,6 +50,16 @@ class Collection:
     def text_at(self, i: int) -> str:
         return self.texts[i]
 
+    def shard(self, rank: int, nranks: int) -> "Collection":
+        """Strided per-process slice (DistributedSampler semantics: row i
+        belongs to rank i % nranks — reference evaluate.py:457-487 shards
+        the query set this way for multi-GPU decode)."""
+        out = object.__new__(Collection)
+        out.ids = self.ids[rank::nranks]
+        out.texts = self.texts[rank::nranks]
+        out._idx = {id_: i for i, id_ in enumerate(out.ids)}
+        return out
+
 
 def load_docid_to_smtid(path: str | Path) -> Tuple[List[str], np.ndarray]:
     """-> (docids in file order, codes [N, M] int32). Strips the reference's
@@ -143,6 +153,57 @@ class Seq2SeqExamples:
 
     def __getitem__(self, i):
         return self.examples[i]
+
+
+class BceExamples:
+    """TSV of "qid\\tdocid\\tlabel" rows — the cross-encoder classification
+    trainset (reference aq_preprocess/build_bce_example_for_t5seq_encoder.py:
+    69-71; consumed by loss_type bert_bce / t5seq_bce)."""
+
+    def __init__(self, path: str | Path):
+        self.rows: List[Tuple[str, str, int]] = []
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    qid, docid, label = line.rstrip("\n").split("\t")
+                    self.rows.append((qid, docid, int(label)))
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, i):
+        return self.rows[i]
+
+
+def build_bce_examples(qrel: Dict[str, Dict[str, int]],
+                       run: Dict[str, Dict[str, float]],
+                       neg_sample: int = 50, seed: int = 4680
+                       ) -> List[Tuple[str, str, int]]:
+    """(qid, docid, label) rows: each rel doc paired with ``neg_sample``
+    negatives drawn from the query's run candidates (reference
+    build_bce_example_for_t5seq_encoder.py:57-68; shuffled like :68)."""
+    rng = np.random.default_rng(seed)
+    rows: List[Tuple[str, str, int]] = []
+    for qid, rels in qrel.items():
+        cands = list(run.get(str(qid), {}))
+        if not cands:
+            continue
+        for rel_docid, r in rels.items():
+            if r <= 0:
+                continue
+            k = min(neg_sample, len(cands))
+            for neg in rng.choice(len(cands), size=k, replace=False):
+                rows.append((str(qid), str(rel_docid), 1))
+                rows.append((str(qid), str(cands[int(neg)]), 0))
+    order = rng.permutation(len(rows))
+    return [rows[int(i)] for i in order]
+
+
+def save_bce_examples(path: str | Path,
+                      rows: List[Tuple[str, str, int]]) -> None:
+    with open(path, "w") as f:
+        for qid, docid, label in rows:
+            f.write(f"{qid}\t{docid}\t{label}\n")
 
 
 def load_qrel(path: str | Path) -> Dict[str, Dict[str, int]]:

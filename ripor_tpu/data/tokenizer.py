@@ -74,6 +74,37 @@ class UnigramTokenizer(TextTokenizer):
         from tokenizers import Tokenizer
         return UnigramTokenizer(Tokenizer.from_file(str(path)))
 
+    @staticmethod
+    def from_spm(path: str | Path) -> "UnigramTokenizer":
+        """Load a real SentencePiece ``.model`` file (e.g. T5's
+        spiece.model, the tokenizer the reference uses at
+        dataset/dataloader.py:10) so imported t5-base weights index the
+        TRUE T5 vocab end-to-end. Parses the SPM proto with transformers'
+        bundled pb2 (the sentencepiece C++ lib is not needed) and rebuilds
+        it as a ``tokenizers`` Unigram model — the standard HF slow->fast
+        conversion (T5Converter) recipe.
+
+        T5's spm already places pad/eos/unk at ids 0/1/2, matching this
+        module's PAD_ID/EOS_ID/UNK_ID constants."""
+        from tokenizers import Regex, Tokenizer, models, normalizers, pre_tokenizers
+        from transformers.utils import sentencepiece_model_pb2_new as spm_pb
+
+        proto = spm_pb.ModelProto()
+        proto.ParseFromString(Path(path).read_bytes())
+        vocab = [(p.piece, p.score) for p in proto.pieces]
+        unk_id = proto.trainer_spec.unk_id
+        tok = Tokenizer(models.Unigram(vocab, unk_id=unk_id,
+                                       byte_fallback=proto.trainer_spec.byte_fallback))
+        norms = []
+        charsmap = proto.normalizer_spec.precompiled_charsmap
+        if charsmap:
+            norms.append(normalizers.Precompiled(charsmap))
+        norms.append(normalizers.Replace(Regex(" {2,}"), " "))
+        tok.normalizer = normalizers.Sequence(norms)
+        tok.pre_tokenizer = pre_tokenizers.Metaspace(
+            replacement="▁", prepend_scheme="always")
+        return UnigramTokenizer(tok)
+
     def save(self, path: str | Path) -> None:
         self._tok.save(str(path))
 

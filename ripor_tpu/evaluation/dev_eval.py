@@ -21,35 +21,48 @@ from ripor_tpu.models.ripor import RiporModel
 
 
 def dev_eval(cfg: RiporConfig, params, query_batches,
-             target_codes: np.ndarray, num_beams: int = 10,
+             target_codes, num_beams: int = 10,
              dtype=jnp.float32) -> Dict[str, float]:
     """query_batches: iterable of (ids, mask) fixed-shape batches covering
-    the dev queries in order; target_codes: [n_queries, M] relevant smtid
-    per query. Returns {"dev_mrr_10", "dev_recall_10"}."""
+    the dev queries in order. ``target_codes``: either an [n_queries, M]
+    array (ONE relevant smtid per query) or a sequence whose i-th element is
+    a [P_i, M] array of ALL relevant smtids for query i — real MS MARCO dev
+    has multi-positive qrels, which the reference evaluate() handles by
+    scoring the generated run against the full qrel (tasks/trainer.py:
+    930-965). Returns {"dev_mrr_10", "dev_recall_10"}.
+
+    mrr@10: reciprocal rank of the first relevant beam; recall@10:
+    fraction of the query's relevant smtids found in the top 10 (the
+    reference's recall_k convention)."""
     from ripor_tpu.trie.succinct import dummy_tables
     fn = make_beam_search_fn(cfg, num_beams, constrained=False, dtype=dtype)
     tables = jax.tree.map(jnp.asarray, dummy_tables(cfg.M))
 
-    rr, hits, n = [], 0, 0
+    targets = [
+        {tuple(int(c) for c in row) for row in np.atleast_2d(np.asarray(t))}
+        for t in target_codes]
+
+    rr, recalls, n = [], [], 0
     for ids, mask in query_batches:
         scores, codes, _ = fn(params, jnp.asarray(ids), jnp.asarray(mask),
                               tables)
         codes = np.asarray(codes)
         bz = codes.shape[0]
         for b in range(bz):
-            if n >= len(target_codes):
+            if n >= len(targets):
                 break
-            target = tuple(target_codes[n])
-            rank = 0
+            rel = targets[n]
+            rank, found = 0, 0
             for j in range(min(num_beams, 10)):
-                if tuple(codes[b, j].tolist()) == target:
-                    rank = j + 1
-                    break
+                if tuple(codes[b, j].tolist()) in rel:
+                    found += 1
+                    if rank == 0:
+                        rank = j + 1
             rr.append(1.0 / rank if rank else 0.0)
-            hits += rank > 0
+            recalls.append(found / max(1, len(rel)))
             n += 1
     return {"dev_mrr_10": float(np.mean(rr)) if rr else 0.0,
-            "dev_recall_10": hits / max(1, n)}
+            "dev_recall_10": float(np.mean(recalls)) if recalls else 0.0}
 
 
 def first_smtid(cfg: RiporConfig, params, input_ids, attention_mask,

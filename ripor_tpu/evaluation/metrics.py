@@ -94,11 +94,30 @@ def ndcg_cut_k(run: Run, qrel: Qrel, k: int = 10, agg: bool = True):
 
 METRIC_FNS = {"mrr": mrr_k, "recall": recall_k, "ndcg_cut": ndcg_cut_k}
 
+# pytrec_eval's default cut grid for bare "recall"/"ndcg_cut" measures
+TREC_CUTS = (5, 10, 15, 20, 30, 100, 200, 500, 1000)
+
+
+def binarize_qrel(qrel: Qrel, threshold: int = 2) -> Dict[str, Dict[str, int]]:
+    """TREC-DL convention: graded judgments binarized at rel >= threshold
+    (2 by default) for binary metrics — the reference consumes pre-built
+    ``qrel_binary.json`` files with exactly this split (arguments.py:163-169;
+    utils/metrics.py:68-70 asserts binary qrels for recall/mrr on TREC)."""
+    return {qid: {d: (1 if r >= threshold else 0) for d, r in docs.items()}
+            for qid, docs in qrel.items()}
+
 
 def evaluate_run(run: Run, qrel: Qrel, metric: str, use_native: bool = True):
     """'mrr_10' / 'recall_100' / 'ndcg_cut_10' style metric strings
-    (reference load_and_evaluate, utils/metrics.py:63-79). Routes to the
-    C++ evaluator (native/ripor_native.cc) for large runs when available."""
+    (reference load_and_evaluate, utils/metrics.py:63-79). Bare 'recall' /
+    'ndcg_cut' (the reference's TREC-DL eval_metric entries,
+    arguments.py:171-175) return the full pytrec_eval cut grid as a dict.
+    Routes to the C++ evaluator (native/ripor_native.cc) for large runs."""
+    if metric in ("recall", "ndcg_cut", "ndcg"):
+        base = "ndcg_cut" if metric.startswith("ndcg") else "recall"
+        return {f"{base}_{k}": evaluate_run(run, qrel, f"{base}_{k}",
+                                            use_native=use_native)
+                for k in TREC_CUTS}
     name, _, k = metric.rpartition("_")
     if name == "ndcg":
         name = "ndcg_cut"
@@ -117,6 +136,12 @@ def load_and_evaluate(qrel_path: str, run_path: str, metric: str) -> Dict[str, f
         qrel = json.load(f)
     with open(run_path) as f:
         run = json.load(f)
+    # TREC-DL pairing rule (reference utils/metrics.py:68-70): graded
+    # qrel.json only feeds ndcg; binary metrics need qrel_binary.json
+    if "TREC" in str(qrel_path):
+        assert ("binary" not in str(qrel_path)) == metric.startswith("ndcg"), (
+            "TREC qrels: use qrel_binary.json for binary metrics, "
+            "qrel.json for ndcg")
     return {metric: evaluate_run(run, qrel, metric)}
 
 

@@ -10,7 +10,7 @@ apply fn) so the engine is model-agnostic; batching is fixed-shape.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Mapping, Sequence, Tuple
+from typing import Callable, Dict, List, Mapping, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -80,6 +80,79 @@ def rerank_qid_smtid_docids(score_fn: ScoreFn, tok: TextTokenizer,
         for smtid in out[qid]:
             out[qid][smtid].sort(key=lambda x: -x[1])
     return out
+
+
+def self_rerank_pair_scores(cfg, params, tok: TextTokenizer,
+                            queries: Collection,
+                            docid_to_codes: Mapping[str, "np.ndarray"],
+                            pairs: Sequence[Tuple[str, str]],
+                            batch_size: int = 64, max_length: int = 64,
+                            dtype=None) -> Dict[str, Dict[str, float]]:
+    """Self-distillation teacher: score (qid, docid) pairs with the RIPOR
+    model's own sequential dot product over the doc's FULL smtid
+    (RiporModel.rerank_score — the reference quantity at
+    t5_generative_retriever.py:794-798). Used by the datagen flywheel when
+    no cross-encoder checkpoint is supplied. Returns {qid: {docid: score}}."""
+    import jax
+    import jax.numpy as jnp
+    from ripor_tpu.models.ripor import RiporModel
+
+    model = RiporModel(cfg, dtype=dtype if dtype is not None else jnp.bfloat16)
+
+    @jax.jit
+    def score(ids, mask, codes):
+        return model.apply({"params": params}, ids, mask, codes,
+                           method=RiporModel.rerank_score)
+
+    uniq = sorted({(str(q), str(d)) for q, d in pairs})
+    out: Dict[str, Dict[str, float]] = {}
+    for st in range(0, len(uniq), batch_size):
+        chunk = uniq[st:st + batch_size]
+        pad = batch_size - len(chunk)
+        texts = [queries[q] for q, _ in chunk] + [""] * pad
+        ids, mask = _tokenize_queries(tok, texts, max_length)
+        codes = np.zeros((batch_size, cfg.M), np.int32)
+        for i, (_, did) in enumerate(chunk):
+            codes[i] = np.asarray(docid_to_codes[did], np.int32)
+        s = np.asarray(score(jnp.asarray(ids), jnp.asarray(mask),
+                             jnp.asarray(codes)), np.float32)[:len(chunk)]
+        for (qid, did), sc in zip(chunk, s):
+            out.setdefault(qid, {})[did] = float(sc)
+    return out
+
+
+def load_bert_teacher(ckpt_dir: str, vocab_size: int,
+                      geometry: Optional[Mapping] = None,
+                      batch_compile: bool = True) -> ScoreFn:
+    """Load a BertCrossEncoder teacher checkpoint (saved by stage_train /
+    hf_bert_to_params conversion) -> jitted ScoreFn for rerank_pairs.
+    ``geometry``: BertCrossEncoder kwargs; defaults read from
+    ``bert_geometry.json`` next to the checkpoint when present (reference
+    loads the pretrained MiniLM teacher, modeling/cross_encoder.py:7-16)."""
+    import json
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    from ripor_tpu.models.cross_encoder import BertCrossEncoder
+    from ripor_tpu.train import load_params
+
+    geo = dict(geometry or {})
+    geo_path = Path(ckpt_dir) / "bert_geometry.json"
+    if not geo and geo_path.exists():
+        geo = json.loads(geo_path.read_text())
+    ce = BertCrossEncoder(vocab_size=vocab_size, **geo)
+    ids0 = jnp.ones((1, 8), jnp.int32)
+    like = ce.init({"params": jax.random.PRNGKey(0)}, ids0, ids0)["params"]
+    params = load_params(ckpt_dir, like=like)
+
+    @jax.jit
+    def score(ids, mask):
+        return ce.apply({"params": params}, ids, mask, deterministic=True)
+
+    return lambda ids, mask: np.asarray(
+        score(jnp.asarray(ids), jnp.asarray(mask)), np.float32)
 
 
 def add_qrel_positives(run: Dict[str, Dict[str, float]],

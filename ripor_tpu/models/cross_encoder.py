@@ -2,11 +2,12 @@
 
 Two teacher families, mirroring the reference (modeling/cross_encoder.py):
 
-* ``BertCrossEncoder`` — BERT-style (query, doc) pair scorer with a CLS
-  classification head (reference CrossEncoder :7-37 wraps the pretrained
-  MiniLM cross-encoder; this image has no pretrained weights, so the
-  architecture is provided from scratch for in-framework training or for
-  loading converted weights).
+* ``BertCrossEncoder`` — BERT-style (query, doc) pair scorer with a pooled
+  CLS classification head (reference CrossEncoder :7-37 wraps a pretrained
+  MiniLM BertForSequenceClassification; this architecture is numerically
+  HF-parity so converted pretrained weights load via
+  models/import_hf.py::hf_bert_to_params, and it is trainable in-framework
+  with the ``bert_bce`` loss).
 * ``T5SeqCrossEncoder`` — the RIPOR backbone scoring (query, smtid) pairs:
   decoder hidden states over the smtid positions, mean-pooled into a tanh
   classification head (reference :39-106; trained with BCE, the
@@ -16,43 +17,22 @@ from __future__ import annotations
 
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
-from ripor_tpu.models.config import RiporConfig, T5Config
-from ripor_tpu.models.layers import Attention, padding_bias
+from ripor_tpu.models.bert import BertBackbone, BertConfig
+from ripor_tpu.models.config import RiporConfig
 from ripor_tpu.models.ripor import RiporModel
 
 
-class BertLayer(nn.Module):
-    """Post-norm transformer encoder layer (BERT convention)."""
-
-    d_model: int
-    num_heads: int
-    d_ff: int
-    dropout: float = 0.1
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, bias, deterministic: bool = True):
-        cfg = T5Config(d_model=self.d_model, d_kv=self.d_model // self.num_heads,
-                       num_heads=self.num_heads, d_ff=self.d_ff,
-                       dropout_rate=self.dropout)
-        h = Attention(cfg, dtype=self.dtype)(x, bias=bias)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype)(x + h)
-        h = nn.Dense(self.d_ff, dtype=self.dtype)(x)
-        h = nn.gelu(h)
-        h = nn.Dense(self.d_model, dtype=self.dtype)(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype)(x + h)
-
-
 class BertCrossEncoder(nn.Module):
-    """(query ++ [SEP] ++ doc) token sequence -> relevance logit [B]."""
+    """(query ++ [SEP] ++ doc) token sequence -> relevance logit [B].
+
+    HF BertForSequenceClassification(num_labels=1) semantics: backbone ->
+    pooler (dense+tanh on CLS) -> dropout -> classifier. MiniLM-L6 geometry
+    by default (the reference teacher, cross_encoder.py:7-37)."""
 
     vocab_size: int = 32128
-    d_model: int = 384          # MiniLM-L6 geometry by default
+    d_model: int = 384
     num_layers: int = 6
     num_heads: int = 12
     d_ff: int = 1536
@@ -63,23 +43,18 @@ class BertCrossEncoder(nn.Module):
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None,
                  deterministic: bool = True):
-        B, L = input_ids.shape
-        x = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype)(input_ids)
-        pos = nn.Embed(self.max_position, self.d_model, dtype=self.dtype)(
-            jnp.arange(L)[None].repeat(B, 0))
-        x = x + pos
-        if token_type_ids is not None:
-            x = x + nn.Embed(2, self.d_model, dtype=self.dtype)(token_type_ids)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        bias = padding_bias(attention_mask).astype(jnp.float32)
-        for _ in range(self.num_layers):
-            x = BertLayer(self.d_model, self.num_heads, self.d_ff,
-                          self.dropout, self.dtype)(
-                x, bias, deterministic=deterministic)
-        cls = x[:, 0]
-        cls = jnp.tanh(nn.Dense(self.d_model, dtype=self.dtype)(cls))
-        return nn.Dense(1, dtype=self.dtype)(cls)[:, 0].astype(jnp.float32)
+        cfg = BertConfig(vocab_size=self.vocab_size, d_model=self.d_model,
+                         num_layers=self.num_layers, num_heads=self.num_heads,
+                         d_ff=self.d_ff, max_position=self.max_position,
+                         dropout=self.dropout)
+        x = BertBackbone(cfg, dtype=self.dtype, name="bert")(
+            input_ids, attention_mask, token_type_ids,
+            deterministic=deterministic)
+        cls = jnp.tanh(nn.Dense(self.d_model, dtype=self.dtype,
+                                name="pooler")(x[:, 0]))
+        cls = nn.Dropout(self.dropout)(cls, deterministic=deterministic)
+        return nn.Dense(1, dtype=self.dtype,
+                        name="classifier")(cls)[:, 0].astype(jnp.float32)
 
 
 class T5ClassificationHead(nn.Module):

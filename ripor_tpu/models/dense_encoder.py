@@ -12,9 +12,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ripor_tpu.models.bert import BertBackbone, BertConfig
 from ripor_tpu.models.config import T5Config
-from ripor_tpu.models.cross_encoder import BertLayer
-from ripor_tpu.models.layers import padding_bias
 from ripor_tpu.models.t5 import Decoder, Encoder
 
 
@@ -82,7 +81,9 @@ def t5_dense_kldiv(model, params, batch, train: bool = True, rng=None):
 
 
 class BertDenseEncoder(nn.Module):
-    """CLS-pooled BERT-style encoder (reference dense_encoder.py:5-11)."""
+    """CLS-pooled BERT-style encoder (reference dense_encoder.py:5-11:
+    AutoModel last_hidden_state[:, 0]). HF-parity backbone — pretrained
+    BERT weights load via import_hf.hf_bert_to_params."""
 
     vocab_size: int = 32128
     d_model: int = 768
@@ -95,15 +96,10 @@ class BertDenseEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, deterministic: bool = True):
-        B, L = input_ids.shape
-        x = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype)(input_ids)
-        x = x + nn.Embed(self.max_position, self.d_model, dtype=self.dtype)(
-            jnp.arange(L)[None].repeat(B, 0))
-        x = nn.LayerNorm(dtype=self.dtype)(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        bias = padding_bias(attention_mask).astype(jnp.float32)
-        for _ in range(self.num_layers):
-            x = BertLayer(self.d_model, self.num_heads, self.d_ff,
-                          self.dropout, self.dtype)(
-                x, bias, deterministic=deterministic)
+        cfg = BertConfig(vocab_size=self.vocab_size, d_model=self.d_model,
+                         num_layers=self.num_layers, num_heads=self.num_heads,
+                         d_ff=self.d_ff, max_position=self.max_position,
+                         dropout=self.dropout)
+        x = BertBackbone(cfg, dtype=self.dtype, name="bert")(
+            input_ids, attention_mask, deterministic=deterministic)
         return x[:, 0]

@@ -90,6 +90,74 @@ def hf_t5_to_params(state: Mapping[str, "np.ndarray"], params: Dict) -> Dict:
     return out
 
 
+def hf_bert_to_params(state: Mapping[str, "np.ndarray"], params: Dict) -> Dict:
+    """Fill BertCrossEncoder / BertDenseEncoder params from an HF BERT-class
+    state dict (BertForSequenceClassification for the MiniLM teacher the
+    reference loads at modeling/cross_encoder.py:12, or a bare BertModel
+    for the DenseEncoder baseline, modeling/dense_encoder.py:8).
+
+    Accepts keys with or without the ``bert.`` prefix; pooler/classifier are
+    filled only when present in both the state dict and the target tree."""
+    out = {k: dict(v) if isinstance(v, dict) else v for k, v in params.items()}
+    prefix = "bert." if any(k.startswith("bert.") for k in state) else ""
+
+    def get(key: str):
+        return state[prefix + key] if prefix + key in state else state[key]
+
+    def has(key: str) -> bool:
+        return prefix + key in state or key in state
+
+    def put(dst_path, value, transpose=False):
+        v = _t(value)
+        if transpose:
+            v = v.T
+        node = out
+        *parents, leaf = dst_path.split("/")
+        for p in parents:
+            node[p] = dict(node[p]) if not isinstance(node[p], dict) else node[p]
+            node = node[p]
+        assert node[leaf].shape == v.shape, (dst_path, node[leaf].shape, v.shape)
+        node[leaf] = v.astype(np.asarray(node[leaf]).dtype)
+
+    emb = "embeddings"
+    put("bert/word/embedding", get(f"{emb}.word_embeddings.weight"))
+    put("bert/position/embedding", get(f"{emb}.position_embeddings.weight"))
+    put("bert/type/embedding", get(f"{emb}.token_type_embeddings.weight"))
+    put("bert/emb_norm/scale", get(f"{emb}.LayerNorm.weight"))
+    put("bert/emb_norm/bias", get(f"{emb}.LayerNorm.bias"))
+
+    n_layers = max(int(k.split("encoder.layer.")[1].split(".")[0])
+                   for k in state if "encoder.layer." in k) + 1
+    for i in range(n_layers):
+        hf = f"encoder.layer.{i}"
+        fx = f"bert/layer_{i}"
+        for ours, theirs in (("q", "attention.self.query"),
+                             ("k", "attention.self.key"),
+                             ("v", "attention.self.value"),
+                             ("o", "attention.output.dense")):
+            put(f"{fx}/attn/{ours}/kernel", get(f"{hf}.{theirs}.weight"),
+                transpose=True)
+            put(f"{fx}/attn/{ours}/bias", get(f"{hf}.{theirs}.bias"))
+        put(f"{fx}/attn_norm/scale", get(f"{hf}.attention.output.LayerNorm.weight"))
+        put(f"{fx}/attn_norm/bias", get(f"{hf}.attention.output.LayerNorm.bias"))
+        put(f"{fx}/ffn_wi/kernel", get(f"{hf}.intermediate.dense.weight"),
+            transpose=True)
+        put(f"{fx}/ffn_wi/bias", get(f"{hf}.intermediate.dense.bias"))
+        put(f"{fx}/ffn_wo/kernel", get(f"{hf}.output.dense.weight"),
+            transpose=True)
+        put(f"{fx}/ffn_wo/bias", get(f"{hf}.output.dense.bias"))
+        put(f"{fx}/ffn_norm/scale", get(f"{hf}.output.LayerNorm.weight"))
+        put(f"{fx}/ffn_norm/bias", get(f"{hf}.output.LayerNorm.bias"))
+
+    if "pooler" in out and has("pooler.dense.weight"):
+        put("pooler/kernel", get("pooler.dense.weight"), transpose=True)
+        put("pooler/bias", get("pooler.dense.bias"))
+    if "classifier" in out and "classifier.weight" in state:
+        put("classifier/kernel", state["classifier.weight"], transpose=True)
+        put("classifier/bias", state["classifier.bias"])
+    return out
+
+
 def load_hf_t5_file(path: str) -> Dict[str, np.ndarray]:
     """Read an HF T5 checkpoint file (pytorch_model.bin or model.safetensors)."""
     if path.endswith(".safetensors"):

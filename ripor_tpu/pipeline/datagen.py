@@ -55,6 +55,53 @@ def prefix_smtid_strings(codes: np.ndarray, docids: Sequence[str],
             for d, row in zip(docids, codes)}
 
 
+def union_docid_groups(*group_maps: Mapping[str, Mapping[str, Sequence[str]]]
+                       ) -> Dict[str, Dict[str, List[str]]]:
+    """Union D^R and D^B {qid: {smtid: [docids]}} groupings (order-preserving
+    dedup) into one map covering every (q, prefix, doc) triple the teacher
+    must score (reference scores the merged qid_smtid_docids in one pass,
+    rerank.py:587-654)."""
+    out: Dict[str, Dict[str, List[str]]] = {}
+    for groups in group_maps:
+        for qid, bucket in groups.items():
+            dst = out.setdefault(str(qid), {})
+            for smtid, docs in bucket.items():
+                cur = dst.setdefault(smtid, [])
+                seen = set(cur)
+                for d in docs:
+                    if str(d) not in seen:
+                        cur.append(str(d))
+                        seen.add(str(d))
+    return out
+
+
+def groups_to_rankdata(groups: Mapping[str, Mapping[str, Sequence[str]]],
+                       pair_scores: Mapping[str, Mapping[str, float]]
+                       ) -> Dict[str, Dict[str, List[List]]]:
+    """Attach teacher pair scores to a docid grouping -> rankdata
+    {qid: {smtid: [[docid, score], ...]}} sorted by score desc.
+
+    Every (qid, docid) MUST carry a real teacher score — a missing score
+    raises (no silent 0.0 default: zero-scored docs would corrupt the decay
+    merge's max-per-prefix semantics; reference rescoreds every triple,
+    rerank.py:587-654)."""
+    out: Dict[str, Dict[str, List[List]]] = {}
+    for qid, bucket in groups.items():
+        q_scores = pair_scores.get(str(qid))
+        if q_scores is None:
+            raise KeyError(f"no teacher scores for qid {qid}")
+        out[str(qid)] = {}
+        for smtid, docs in bucket.items():
+            try:
+                pairs = [[str(d), float(q_scores[str(d)])] for d in docs]
+            except KeyError as e:
+                raise KeyError(
+                    f"missing teacher score for (qid={qid}, docid={e})") from e
+            pairs.sort(key=lambda x: -x[1])
+            out[str(qid)][smtid] = pairs
+    return out
+
+
 RankData = Mapping[str, Mapping[str, Sequence[Sequence]]]  # qid->smtid->[(docid,score)]
 
 

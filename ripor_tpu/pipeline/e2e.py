@@ -108,36 +108,108 @@ def run_e2e(workspace: str, docs_dir: str, queries_dir: str, qrel_path: str,
 
 
 def run_train_from_config(cfg_dict: Dict) -> None:
-    """Generic one-phase training job (reference main.py:34-190 dispatch)."""
+    """Generic one-phase training job (reference main.py:34-190 dispatch).
+
+    loss_type selects the (model, dataset, collator) family:
+      t5seq_aq_encoder_{margin_mse,lng_knp_margin_mse,ranknet} — RiporModel
+        + teacher-score trainset (reference MarginMSEforT5SeqAQ*)
+      t5seq_aq_encoder_seq2seq — RiporModel + {"docid","query"} JSONL
+      t5seq_pretrain_margin_mse / margin_mse / kldiv — doc-text pairs
+        (PretrainCollator; margin_mse/kldiv drive the T5DenseEncoder
+        baseline, reference t5model_encoder.py)
+      t5seq_bce / bert_bce — cross-encoder teachers on bce_examples TSV
+        (reference marco_train_t5seq_cross_encoder.sh — whose main.py
+        branch upstream is NotImplementedError; trainable here)
+    """
+    import jax
+    from ripor_tpu.data import (BceExamples, BertBceCollator, PretrainCollator,
+                                T5SeqBceCollator, batches_from_bce)
+
     ws = Workspace(cfg_dict["workspace"])
-    model_cfg = RiporConfig.load(cfg_dict["model_config"]) \
-        if "model_config" in cfg_dict else _small_cfg(
-            cfg_dict.get("M", 32), cfg_dict.get("K", 256),
-            cfg_dict.get("vocab_size", 32000))
-    model = RiporModel(model_cfg)
     tok = UnigramTokenizer.load(ws.path("tokenizer.json"))
     queries = Collection(cfg_dict["queries_dir"])
-    docids, codes = load_docid_to_smtid(ws.path("docid_to_smtid.json"))
-    d2c = dict(zip(docids, codes))
-
     loss_type = cfg_dict["loss_type"]
-    examples = TeacherScoreExamples(
-        cfg_dict["examples_path"],
-        smtid_as_docid=cfg_dict.get("smtid_as_docid", False))
-    prefix = examples.prefix_lengths_present() \
-        if loss_type == "t5seq_aq_encoder_lng_knp_margin_mse" else ()
-    coll = MarginMSECollator(tok, queries, d2c,
-                             max_length=cfg_dict.get("max_length", 64),
-                             smtid_as_docid=cfg_dict.get("smtid_as_docid", False),
-                             prefix_lengths=prefix)
-    batches = batches_from_teacher_examples(
-        examples, coll, cfg_dict.get("batch_size", 64),
-        epochs=cfg_dict.get("epochs", 1))
-    import jax
-    params_like = RiporModel(model_cfg)
+    batch_size = cfg_dict.get("batch_size", 64)
+    epochs = cfg_dict.get("epochs", 1)
+    max_length = cfg_dict.get("max_length", 64)
+    rng0 = jax.random.PRNGKey(cfg_dict.get("seed", 0))
+
+    d2c = None
+    if ws.has("docid_to_smtid.json"):
+        docids, codes = load_docid_to_smtid(ws.path("docid_to_smtid.json"))
+        d2c = dict(zip(docids, codes))
+
+    def ripor_cfg() -> RiporConfig:
+        return RiporConfig.load(cfg_dict["model_config"]) \
+            if "model_config" in cfg_dict else _small_cfg(
+                cfg_dict.get("M", 32), cfg_dict.get("K", 256),
+                cfg_dict.get("vocab_size", tok.vocab_size))
+
     ids0 = jnp.ones((1, 8), jnp.int32)
-    params = model.init({"params": jax.random.PRNGKey(0)}, ids0, ids0,
-                        jnp.zeros((1, model_cfg.M), jnp.int32))["params"]
+    if loss_type == "bert_bce":
+        from ripor_tpu.models.cross_encoder import BertCrossEncoder
+        model = BertCrossEncoder(vocab_size=tok.vocab_size,
+                                 **cfg_dict.get("bert_geometry", {}))
+        model_cfg = None
+        params = model.init({"params": rng0}, ids0, ids0)["params"]
+        docs = Collection(cfg_dict["docs_dir"])
+        examples = BceExamples(cfg_dict["examples_path"])
+        coll = BertBceCollator(tok, queries, docs, max_length=max_length)
+        batches = batches_from_bce(examples, coll, batch_size, epochs=epochs)
+    elif loss_type == "t5seq_bce":
+        from ripor_tpu.models.cross_encoder import T5SeqCrossEncoder
+        model_cfg = ripor_cfg()
+        model = T5SeqCrossEncoder(model_cfg)
+        params = model.init({"params": rng0}, ids0, ids0,
+                            jnp.zeros((1, model_cfg.M), jnp.int32))["params"]
+        examples = BceExamples(cfg_dict["examples_path"])
+        coll = T5SeqBceCollator(tok, queries, d2c, max_length=max_length)
+        batches = batches_from_bce(examples, coll, batch_size, epochs=epochs)
+    elif loss_type in ("margin_mse", "kldiv", "t5seq_pretrain_margin_mse"):
+        docs = Collection(cfg_dict["docs_dir"])
+        examples = TeacherScoreExamples(cfg_dict["examples_path"])
+        if loss_type == "t5seq_pretrain_margin_mse":
+            model_cfg = ripor_cfg()
+            model = RiporModel(model_cfg)
+            params = model.init({"params": rng0}, ids0, ids0,
+                                jnp.zeros((1, model_cfg.M), jnp.int32))["params"]
+            prefix_len = cfg_dict.get("prefix_len", 0)
+            coll = PretrainCollator(tok, queries, docs, max_length=max_length,
+                                    docid_to_codes=d2c if prefix_len else None,
+                                    prefix_len=prefix_len)
+        else:
+            from ripor_tpu.models.dense_encoder import T5DenseEncoder
+            model_cfg = ripor_cfg()
+            model = T5DenseEncoder(model_cfg.t5)
+            params = model.init({"params": rng0}, ids0, ids0)["params"]
+            coll = PretrainCollator(tok, queries, docs, max_length=max_length)
+        batches = batches_from_teacher_examples(examples, coll, batch_size,
+                                                epochs=epochs)
+    elif loss_type == "t5seq_aq_encoder_seq2seq":
+        model_cfg = ripor_cfg()
+        model = RiporModel(model_cfg)
+        params = model.init({"params": rng0}, ids0, ids0,
+                            jnp.zeros((1, model_cfg.M), jnp.int32))["params"]
+        examples = Seq2SeqExamples(cfg_dict["examples_path"])
+        coll = Seq2SeqCollator(tok, d2c, max_length=max_length)
+        batches = batches_from_seq2seq(examples, coll, batch_size,
+                                       epochs=epochs)
+    else:
+        model_cfg = ripor_cfg()
+        model = RiporModel(model_cfg)
+        params = model.init({"params": rng0}, ids0, ids0,
+                            jnp.zeros((1, model_cfg.M), jnp.int32))["params"]
+        examples = TeacherScoreExamples(
+            cfg_dict["examples_path"],
+            smtid_as_docid=cfg_dict.get("smtid_as_docid", False))
+        prefix = examples.prefix_lengths_present() \
+            if loss_type == "t5seq_aq_encoder_lng_knp_margin_mse" else ()
+        coll = MarginMSECollator(tok, queries, d2c, max_length=max_length,
+                                 smtid_as_docid=cfg_dict.get("smtid_as_docid", False),
+                                 prefix_lengths=prefix)
+        batches = batches_from_teacher_examples(examples, coll, batch_size,
+                                                epochs=epochs)
+
     if "init_checkpoint" in cfg_dict:
         from ripor_tpu.train import load_params
         params = load_params(cfg_dict["init_checkpoint"], like=params)

@@ -73,6 +73,46 @@ def beam_prefix_candidates(cfg: RiporConfig, params, tok: TextTokenizer,
     return out
 
 
+def datagen_round(cfg: RiporConfig, params, tok: TextTokenizer,
+                  queries, qid_to_docids: Mapping[str, Sequence[str]],
+                  doc_codes: np.ndarray, docids: Sequence[str],
+                  score_pairs_fn, prefix_len: int, num_beams: int = 100,
+                  batch_size: int = 4, decay: int = 2,
+                  max_length: int = 64) -> List[Dict]:
+    """One flywheel round at one prefix length: D^R grouping + D^B beam
+    candidates, teacher rescoring of EVERY (q, prefix, doc) triple via
+    ``score_pairs_fn`` ([(qid, docid)] -> {qid: {docid: score}}), decay
+    merge, and lng_knp score attachment for prefix_len > 4.
+
+    The reference runs this as three chained scripts
+    (t5seq_aq_get_qid_to_smtid_rankdata, evaluate.py:528-655;
+    cross_encoder_rerank_for_qid_smtid_docids, rerank.py:587-654;
+    get_lng_knp_qid_smtids_scores_jsonl_examples). Missing teacher scores
+    raise — no 0.0 defaults (groups_to_rankdata)."""
+    from ripor_tpu.pipeline.datagen import (
+        attach_lng_knp_scores, group_docids_by_prefix, groups_to_rankdata,
+        merge_rankdata_with_decay, prefix_smtid_strings, union_docid_groups)
+
+    p_str = prefix_smtid_strings(doc_codes, docids, prefix_len)
+    d_r = group_docids_by_prefix(qid_to_docids, p_str)
+    d_b = beam_prefix_candidates(
+        cfg, params, tok, list(qid_to_docids),
+        [queries[q] for q in qid_to_docids], doc_codes, docids,
+        prefix_len=prefix_len, num_beams=num_beams, batch_size=batch_size,
+        max_length=max_length)
+    union = union_docid_groups(d_r, d_b)
+    pairs = sorted({(qid, d) for qid, bucket in union.items()
+                    for docs in bucket.values() for d in docs})
+    pair_scores = score_pairs_fn(pairs)
+    merged = merge_rankdata_with_decay(
+        groups_to_rankdata(d_r, pair_scores),
+        groups_to_rankdata(d_b, pair_scores),
+        max_new_token=prefix_len, decay=decay)
+    if prefix_len > 4:
+        merged = attach_lng_knp_scores(merged, prefix_len)
+    return merged
+
+
 def create_trainset(run: Mapping[str, Mapping[str, float]],
                     qrel: Optional[Mapping[str, Mapping[str, int]]] = None,
                     top_k: int = 100) -> List[Dict]:

@@ -17,6 +17,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
+from ripor_tpu.models.dense_encoder import t5_dense_kldiv, t5_dense_margin_mse
 from ripor_tpu.models.ripor import RiporModel
 
 
@@ -196,10 +197,46 @@ def ranknet(model: RiporModel, params, batch: Dict, train: bool = True,
     return {"rank": jnp.mean(jnp.log1p(jnp.exp(-(pos - neg))))}
 
 
+def t5seq_bce(model, params, batch: Dict, train: bool = True,
+              rng=None) -> Dict[str, jnp.ndarray]:
+    """BCE classification for the T5SeqCrossEncoder teacher (reference
+    loss_type=t5seq_bce; modeling/cross_encoder.py:75-92 — the reference's
+    own main.py never dispatches this model_type, so this path is
+    framework-complete beyond the reference). Batch: query_ids/query_mask
+    [B, L]; codes [B, m]; labels [B] in {0, 1}."""
+    from ripor_tpu.models.cross_encoder import bce_loss
+    rngs = {"dropout": rng} if (train and rng is not None) else {}
+    logits = model.apply({"params": params}, batch["query_ids"],
+                         batch["query_mask"], batch["codes"],
+                         deterministic=not train, rngs=rngs)
+    return {"cls": bce_loss(logits, batch["labels"])}
+
+
+def bert_bce(model, params, batch: Dict, train: bool = True,
+             rng=None) -> Dict[str, jnp.ndarray]:
+    """BCE classification for the BERT cross-encoder teacher (reference
+    CrossEncoder.forward, modeling/cross_encoder.py:17-23, loss_type=
+    bert_bce). Batch: input_ids/attention_mask [B, L]; optional
+    token_type_ids; labels [B] in {0, 1}."""
+    from ripor_tpu.models.cross_encoder import bce_loss
+    rngs = {"dropout": rng} if (train and rng is not None) else {}
+    logits = model.apply({"params": params}, batch["input_ids"],
+                         batch["attention_mask"],
+                         batch.get("token_type_ids"),
+                         deterministic=not train, rngs=rngs)
+    return {"cls": bce_loss(logits, batch["labels"])}
+
+
 LOSS_FNS = {
     "t5seq_aq_encoder_margin_mse": margin_mse,
     "t5seq_aq_encoder_seq2seq": seq2seq_ce,
     "t5seq_aq_encoder_lng_knp_margin_mse": lng_knp_margin_mse,
     "t5seq_pretrain_margin_mse": pretrain_margin_mse,
     "t5seq_aq_encoder_ranknet": ranknet,
+    # teacher / baseline families (reference arguments.py:81-100 whitelist
+    # names): the trainer is model-agnostic — pass the matching model
+    "t5seq_bce": t5seq_bce,
+    "bert_bce": bert_bce,
+    "margin_mse": t5_dense_margin_mse,   # T5ModelEncoder baseline
+    "kldiv": t5_dense_kldiv,             # T5ModelEncoderForKLDiv baseline
 }

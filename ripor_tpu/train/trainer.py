@@ -20,7 +20,6 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ripor_tpu.models.ripor import RiporModel
 from ripor_tpu.parallel.sharding import shard_batch
 from ripor_tpu.train import losses as loss_lib
 
@@ -65,7 +64,7 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     )
 
 
-def make_train_step(model: RiporModel, cfg: TrainConfig,
+def make_train_step(model, cfg: TrainConfig,
                     tx: optax.GradientTransformation) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
@@ -152,13 +151,18 @@ def jit_train_step(train_step: Callable, mesh: Mesh, params_example,
 class Trainer:
     """Minimal training loop driver: host feeds batches, device steps.
 
+    Model-agnostic: ``model`` is any flax module whose LOSS_FNS entry knows
+    its apply signature (RiporModel, T5SeqCrossEncoder, BertCrossEncoder,
+    T5DenseEncoder — the reference trains all of these through one trainer,
+    tasks/trainer.py + main.py loss_type dispatch).
+
     Periodic checkpointing + auto-resume mirror the reference trainer's
     save_steps / resume_from_checkpoint (tasks/trainer.py:186-200,
     380-412,521-544): pass a ``checkpoint_dir`` and an interrupted run
     restarts from the latest step (params + optimizer state + step count;
     already-consumed batches are skipped to preserve the data order)."""
 
-    def __init__(self, model: RiporModel, cfg: TrainConfig, params,
+    def __init__(self, model, cfg: TrainConfig, params,
                  mesh: Optional[Mesh] = None, log_fn=None,
                  checkpoint_dir: Optional[str] = None,
                  save_steps: int = 15_000, max_to_keep: int = 5,
@@ -186,8 +190,9 @@ class Trainer:
         self.save_steps = save_steps
         # periodic in-training evaluation (reference CondDocID_DRTrainer
         # evaluate() on dev queries, tasks/trainer.py:870-977): eval_fn
-        # receives the live params and returns a metrics dict that is merged
-        # into the next log line (e.g. evaluation/dev_eval.py::dev_eval)
+        # receives the live params and returns a metrics dict that is
+        # emitted as its own log record for the same step (separate from the
+        # train-metric line; e.g. evaluation/dev_eval.py::dev_eval)
         self.eval_fn = eval_fn
         self.eval_steps = eval_steps
         self._ckpt = None
@@ -197,22 +202,33 @@ class Trainer:
             latest = self._ckpt.latest_step()
             if latest is not None:
                 self.state = self._ckpt.restore(latest, like=self.state)
+        # resume point: pass start_batch=trainer.resume_step to the batch
+        # builders (data/collators.py batches_from_*) so resume skips
+        # consumed batches at the sampler-index level instead of
+        # re-collating them (the reference fast-forwards its sampler)
+        self.resume_step = int(self.state.step)
 
     def run(self, batches, rng, log_every: int = 100,
-            flops_per_step: Optional[float] = None):
+            flops_per_step: Optional[float] = None,
+            batches_start: int = 0):
         """batches: iterable of fixed-shape batch dicts. Pass
         ``flops_per_step`` (e.g. 6 * n_params * tokens_per_batch) to get
         MFU in the logs (utils/observability.py; the reference only has
-        HF's FLOs counter, tasks/trainer.py:649)."""
+        HF's FLOs counter, tasks/trainer.py:649).
+
+        ``batches_start``: global index of the first yielded batch (set it
+        to the builder's start_batch for fast resume). The per-step dropout
+        rng is fold_in(rng, step) so resumed and uninterrupted runs are
+        bit-identical regardless of how batches were fast-forwarded."""
         from ripor_tpu.utils.observability import StepTimer
         timer = StepTimer(warmup=2, flops_per_step=flops_per_step,
                           n_devices=(self.mesh.size if self.mesh else 1))
         metrics = None
         start_step = int(self.state.step)
-        for i, batch in enumerate(batches):
-            rng, sub = jax.random.split(rng)
-            if i < start_step:      # resume: skip consumed batches
+        for i, batch in enumerate(batches, start=batches_start):
+            if i < start_step:      # fallback: iterable not fast-forwarded
                 continue
+            sub = jax.random.fold_in(rng, i)
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
             with timer:

@@ -175,3 +175,38 @@ def test_device_prefetch_matches():
     assert len(out) == 5
     for i, b in enumerate(out):
         np.testing.assert_allclose(np.asarray(b["x"]), i)
+
+
+def test_spm_model_import(tmp_path):
+    """Load a real SentencePiece .model proto (the reference's T5 tokenizer
+    format, dataset/dataloader.py:10) via UnigramTokenizer.from_spm: pieces,
+    special-id layout (pad/eos/unk = 0/1/2), and Viterbi segmentation."""
+    pytest.importorskip("transformers")
+    from transformers.utils import sentencepiece_model_pb2_new as spm_pb
+
+    from ripor_tpu.data.tokenizer import EOS_ID, PAD_ID, UnigramTokenizer
+
+    m = spm_pb.ModelProto()
+
+    def add(piece, score, ptype=1):
+        p = m.pieces.add()
+        p.piece, p.score, p.type = piece, score, ptype
+
+    add("<pad>", 0.0, 3)
+    add("</s>", 0.0, 3)
+    add("<unk>", 0.0, 2)
+    for w, s in [("▁hello", -1.0), ("▁world", -1.5), ("▁", -4.0),
+                 ("he", -3.0), ("llo", -3.0), ("wor", -3.0), ("ld", -3.0)]:
+        add(w, s)
+    m.trainer_spec.unk_id = 2
+    m.trainer_spec.byte_fallback = False
+    path = tmp_path / "spiece.model"
+    path.write_bytes(m.SerializeToString())
+
+    tok = UnigramTokenizer.from_spm(path)
+    assert tok.vocab_size == 10
+    # whole-word pieces beat char splits (unigram Viterbi)
+    assert tok.encode("hello world") == [3, 4]
+    ids, mask = tok.encode_batch(["hello world"], 6)
+    assert ids[0, 2] == EOS_ID and ids[0, 3] == PAD_ID
+    assert mask[0].tolist() == [1, 1, 1, 0, 0, 0]

@@ -45,6 +45,45 @@ def test_ndcg():
     assert ndcg_cut_k(RUN, QREL, 10) == pytest.approx(expect, abs=1e-6)
 
 
+def test_binarize_qrel_trec_dl():
+    """TREC-DL: rel >= 2 binarization (reference qrel_binary.json files,
+    arguments.py:163-169)."""
+    from ripor_tpu.evaluation.metrics import binarize_qrel
+    graded = {"q1": {"d1": 3, "d2": 1, "d3": 2, "d4": 0}}
+    b = binarize_qrel(graded)
+    assert b == {"q1": {"d1": 1, "d2": 0, "d3": 1, "d4": 0}}
+    # binary recall counts only rel>=2 docs as relevant
+    run = {"q1": {"d2": 0.9, "d1": 0.8}}
+    assert recall_k(run, b, 10) == pytest.approx(0.5)   # d1 found, d3 missed
+    assert recall_k(run, graded, 10) == pytest.approx(2 / 3)  # graded rel>0
+
+
+def test_bare_metric_returns_cut_grid():
+    from ripor_tpu.evaluation.metrics import TREC_CUTS, evaluate_run
+    out = evaluate_run(RUN, QREL, "recall")
+    assert set(out) == {f"recall_{k}" for k in TREC_CUTS}
+    assert out["recall_1000"] == pytest.approx(recall_k(RUN, QREL, 1000))
+    out2 = evaluate_run(RUN, QREL, "ndcg_cut")
+    assert out2["ndcg_cut_10"] == pytest.approx(ndcg_cut_k(RUN, QREL, 10))
+
+
+def test_load_and_evaluate_trec_pairing(tmp_path):
+    import json
+
+    from ripor_tpu.evaluation.metrics import load_and_evaluate
+    run_p = tmp_path / "run.json"
+    run_p.write_text(json.dumps(RUN))
+    graded_p = tmp_path / "TREC_DL_2019_qrel.json"
+    graded_p.write_text(json.dumps(QREL))
+    binary_p = tmp_path / "TREC_DL_2019_qrel_binary.json"
+    binary_p.write_text(json.dumps(QREL))
+    assert "ndcg_cut_10" in load_and_evaluate(str(graded_p), str(run_p),
+                                              "ndcg_cut_10")
+    assert "mrr_10" in load_and_evaluate(str(binary_p), str(run_p), "mrr_10")
+    with pytest.raises(AssertionError):
+        load_and_evaluate(str(graded_p), str(run_p), "mrr_10")
+
+
 def test_tie_break_docid_descending():
     # trec_eval: equal scores -> docid string DESCENDING
     run = {"q": {"a": 1.0, "b": 1.0}}

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ripor_tpu.models import ripor_small
 from ripor_tpu.models.config import T5Config
@@ -81,6 +82,35 @@ def test_dev_eval_and_first_smtid():
     bs = beam_search(cfg, params, np.asarray(ids), np.asarray(mask),
                      trie=None, num_beams=1, dtype=jnp.float32)
     np.testing.assert_array_equal(f, bs.codes[:, 0, 0])
+
+
+def test_dev_eval_multi_positive():
+    """Multi-positive qrels: a query whose SECOND-ranked beam is one of two
+    positives scores mrr 1/2 and recall 1/2 (reference evaluate() scores the
+    run against the full qrel, tasks/trainer.py:930-965)."""
+    from ripor_tpu.decode import beam_search
+    from ripor_tpu.evaluation.dev_eval import dev_eval
+    from ripor_tpu.models import RiporModel
+
+    cfg = ripor_small(M=4, K=8)
+    model = RiporModel(cfg)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(1, 100, (2, 6)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init({"params": jax.random.PRNGKey(1)}, ids, mask,
+                        jnp.zeros((2, 4), jnp.int32))["params"]
+    # oracle targets: take the model's own beams so ranks are known
+    bs = beam_search(cfg, params, np.asarray(ids), np.asarray(mask),
+                     trie=None, num_beams=4, dtype=jnp.float32)
+    # q0: positives = {beam1, unreachable} -> rr 1/2, recall 1/2
+    # q1: positives = {beam0}              -> rr 1, recall 1
+    unreachable = np.full((4,), 7, np.int64)
+    targets = [np.stack([bs.codes[0, 1], unreachable]),
+               bs.codes[1, 0][None]]
+    out = dev_eval(cfg, params, [(np.asarray(ids), np.asarray(mask))],
+                   targets, num_beams=4)
+    assert out["dev_mrr_10"] == pytest.approx((0.5 + 1.0) / 2)
+    assert out["dev_recall_10"] == pytest.approx((0.5 + 1.0) / 2)
 
 
 def test_observability():

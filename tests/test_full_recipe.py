@@ -1,0 +1,97 @@
+"""Full 3-phase recipe on a corpus slice (reference full_scripts/
+full_lng_knp_train_pipline.sh chain): phase-1 pretrain -> DocID build ->
+BERT teacher -> phase-2 seq2seq + MarginMSE -> teacher-rescored flywheel ->
+phase-3 prefix curriculum. Asserts retrieval holds up across phases and
+that the flywheel artifacts carry real teacher scores."""
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("recipe")
+    rng = np.random.default_rng(0)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    docs_dir = tmp / "docs"; docs_dir.mkdir()
+    doc_texts = []
+    with open(docs_dir / "raw.tsv", "w") as f:
+        for i in range(24):
+            text = " ".join(rng.choice(words, 5)) + f" topic{i}"
+            doc_texts.append(text)
+            f.write(f"d{i}\t{text}\n")
+    queries_dir = tmp / "queries"; queries_dir.mkdir()
+    qrel = {}
+    with open(queries_dir / "raw.tsv", "w") as f:
+        for qi in range(8):
+            di = qi * 3
+            f.write(f"q{qi}\tfind topic{di} {doc_texts[di].split()[0]}\n")
+            qrel[f"q{qi}"] = {f"d{di}": 1}
+    qrel_path = tmp / "qrel.json"
+    qrel_path.write_text(json.dumps(qrel))
+    return tmp, docs_dir, queries_dir, qrel_path
+
+
+def test_full_recipe_improves(corpus):
+    from ripor_tpu.pipeline.full_recipe import run_full_recipe
+
+    tmp, docs_dir, queries_dir, qrel_path = corpus
+    ws = tmp / "ws"
+    metrics = run_full_recipe(
+        workspace=str(ws), docs_dir=str(docs_dir),
+        queries_dir=str(queries_dir), qrel_path=str(qrel_path),
+        M=8, K=16, vocab_size=300,
+        phase1_epochs=6, teacher_epochs=12, s2s_epochs=40, mm_epochs=6,
+        phase3_epochs=6, num_beams=5, topk=20, batch_size=8)
+
+    assert set(metrics) == {"phase2", "phase3"}
+    # phase 2 (seq2seq overfit + MarginMSE) must already retrieve well on
+    # the training slice; phase 3's curriculum must not regress it
+    assert metrics["phase2"]["mrr_10"] > 0.5, metrics
+    assert metrics["phase3"]["mrr_10"] >= metrics["phase2"]["mrr_10"] - 0.15, metrics
+    assert metrics["phase3"]["mrr_10"] > 0.5, metrics
+
+    # flywheel artifacts exist for the whole curriculum with REAL teacher
+    # scores attached to every smtid (no zero-default leakage)
+    for plen in (4, 8):
+        p = ws / f"lng_knp_qid_smtids_scores_{plen}.train.json"
+        assert p.exists(), p
+        with open(p) as f:
+            examples = [json.loads(l) for l in f if l.strip()]
+        assert examples
+        for ex in examples:
+            assert len(ex["smtids"]) == len(ex["scores"])
+            assert all(len(s.split("_")) == plen for s in ex["smtids"])
+        # decay-merged teacher scores: all finite, not all identical zero
+        scores = [s for ex in examples for s in ex["scores"]]
+        assert np.isfinite(scores).all()
+        assert np.std(scores) > 0
+    # lng_knp stage attached prefix scores at plen 8
+    with open(ws / "lng_knp_qid_smtids_scores_8.train.json") as f:
+        ex = json.loads(f.readline())
+    assert "smtid_4_scores" in ex
+
+    # phase checkpoints all present (resumable chain)
+    for name in ("phase1_pretrain", "bert_teacher", "phase2_seq2seq",
+                 "phase2_margin_mse", "phase3_mnt_4", "phase3_mnt_8",
+                 "final"):
+        assert (ws / "checkpoints" / name / "params").exists(), name
+
+
+def test_full_recipe_resumes(corpus):
+    """Re-running the driver with everything built is a fast no-op that
+    returns the same metrics (manifest/stage-skip semantics)."""
+    from ripor_tpu.pipeline.full_recipe import run_full_recipe
+
+    tmp, docs_dir, queries_dir, qrel_path = corpus
+    ws = tmp / "ws"
+    before = json.loads((ws / "perf_phase3.json").read_text())
+    metrics = run_full_recipe(
+        workspace=str(ws), docs_dir=str(docs_dir),
+        queries_dir=str(queries_dir), qrel_path=str(qrel_path),
+        M=8, K=16, vocab_size=300,
+        phase1_epochs=6, teacher_epochs=12, s2s_epochs=40, mm_epochs=6,
+        phase3_epochs=6, num_beams=5, topk=20, batch_size=8)
+    assert metrics["phase3"] == pytest.approx(before)

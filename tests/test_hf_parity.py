@@ -89,6 +89,78 @@ def test_decoder_parity(models):
     np.testing.assert_allclose(ours, hf_hidden, rtol=2e-4, atol=2e-5)
 
 
+def _tiny_bert_cfg(**kw):
+    return transformers.BertConfig(
+        vocab_size=200, hidden_size=48, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=64, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        hidden_act="gelu", pad_token_id=0, **kw)
+
+
+def test_bert_cross_encoder_parity():
+    """BertCrossEncoder == HF BertForSequenceClassification(num_labels=1)
+    after hf_bert_to_params — the pretrained-MiniLM teacher import path
+    (reference modeling/cross_encoder.py:7-37)."""
+    from ripor_tpu.models.cross_encoder import BertCrossEncoder
+    from ripor_tpu.models.import_hf import hf_bert_to_params
+
+    torch.manual_seed(0)
+    hf = transformers.BertForSequenceClassification(
+        _tiny_bert_cfg(num_labels=1)).eval()
+
+    model = BertCrossEncoder(vocab_size=200, d_model=48, num_layers=3,
+                             num_heads=4, d_ff=96, max_position=64,
+                             dropout=0.0)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, 200, (3, 12))
+    mask = np.ones_like(ids)
+    mask[2, 9:] = 0
+    types = np.zeros_like(ids)
+    types[:, 6:] = 1
+
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+                        jnp.asarray(types, jnp.int32))["params"]
+    params = hf_bert_to_params(hf.state_dict(), jax.tree.map(np.asarray, params))
+
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(ids),
+                  attention_mask=torch.tensor(mask),
+                  token_type_ids=torch.tensor(types)).logits[:, 0].numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(ids, jnp.int32),
+                                 jnp.asarray(mask, jnp.int32),
+                                 jnp.asarray(types, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_bert_dense_encoder_parity():
+    """BertDenseEncoder CLS rep == HF BertModel last_hidden_state[:, 0]
+    (reference modeling/dense_encoder.py:5-11)."""
+    from ripor_tpu.models.dense_encoder import BertDenseEncoder
+    from ripor_tpu.models.import_hf import hf_bert_to_params
+
+    torch.manual_seed(1)
+    hf = transformers.BertModel(_tiny_bert_cfg()).eval()
+    model = BertDenseEncoder(vocab_size=200, d_model=48, num_layers=3,
+                             num_heads=4, d_ff=96, max_position=64,
+                             dropout=0.0)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(5, 200, (2, 10))
+    mask = np.ones_like(ids)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.asarray(ids, jnp.int32),
+                        jnp.asarray(mask, jnp.int32))["params"]
+    params = hf_bert_to_params(hf.state_dict(), jax.tree.map(np.asarray, params))
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(ids),
+                  attention_mask=torch.tensor(mask)
+                  ).last_hidden_state[:, 0].numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(ids, jnp.int32),
+                                 jnp.asarray(mask, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_gated_v11_import():
     """v1.1 gated-gelu FFN import path."""
     hf_cfg = transformers.T5Config(
