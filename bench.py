@@ -49,6 +49,11 @@ def main():
     # 1000 (bf16 tops out at batch 4 on 16 GB). Same per-query workload as
     # the reference's batch-1-per-GPU config, measured as chip throughput.
     int8_cache = os.environ.get("BENCH_INT8", "1") == "1"
+    # BENCH_INT4=1: packed-nibble KV rows (quarter bf16 bytes) — perf
+    # exploration mode; int8 stays the validated default
+    quant = ("int4" if os.environ.get("BENCH_INT4") == "1"
+             else "int8" if int8_cache else None)
+    int8_cache = quant is not None
     batch = int(os.environ.get("BENCH_BATCH", 8 if int8_cache else 4))
     seq_len = int(os.environ.get("BENCH_SEQ", 64))
     iters = int(os.environ.get("BENCH_ITERS", 5))
@@ -86,8 +91,14 @@ def main():
     tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
     print(f"# succinct trie tables {tables_memory_bytes(tables)/1e6:.0f} MB",
           file=sys.stderr)
+    # BENCH_SEGMENTS=1 disables the growing cache segments: steady-state
+    # HBM is the FULL-length cache from step 0, but the segment-transition
+    # jnp.pad (which holds old+new ping-pong pairs alive simultaneously)
+    # disappears — that transient is what OOMs batch 16 at beam 1000.
+    segments = int(os.environ.get("BENCH_SEGMENTS", 4))
     run = make_beam_search_fn(cfg, num_beams, constrained=True,
-                              dtype=jnp.bfloat16, kv_cache_int8=int8_cache)
+                              dtype=jnp.bfloat16, kv_cache_quant=quant,
+                              cache_segments=segments)
 
     # warmup / compile. NOTE: block_until_ready does not synchronize through
     # this image's remote-execution relay — np.asarray (host transfer) is the
@@ -114,7 +125,7 @@ def main():
         "metric": "constrained_beam_queries_per_sec",
         "value": round(qps, 3),
         "unit": (f"qps@beam{num_beams}_t5base_{M}x{K}_{n_docs}docs_1chip"
-                 + ("_int8kv" if int8_cache else "")),
+                 + (f"_{quant}kv" if quant else "")),
         "vs_baseline": round(qps / baseline_qps, 3),
     }))
 

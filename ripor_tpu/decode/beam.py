@@ -60,7 +60,8 @@ def _trie_allowed(tables, state, t, K: int):
     unpacked = (row[..., None] >> shifts) & jnp.uint32(1)     # [B, N, W, 32]
     internal_allowed = unpacked.reshape(B, N, -1)[:, :, :K].astype(jnp.bool_)
     group = jnp.clip(-2 - state, 0, tables.unique_codes.shape[0] - 1)
-    chain_tok = tables.unique_codes[group, t]                 # [B, N]
+    # unique_codes may be uint8/uint16 (succinct_tables narrows by K)
+    chain_tok = tables.unique_codes[group, t].astype(jnp.int32)  # [B, N]
     chain_allowed = jax.nn.one_hot(chain_tok, K, dtype=jnp.bool_)
     is_internal = (state >= 0)[:, :, None]
     is_chain = (state <= -2)[:, :, None]
@@ -160,7 +161,9 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                         use_pallas_gather: Optional[bool] = None,
                         cache_segments: int = 4,
                         deferred: Optional[bool] = None,
-                        kv_cache_int8: bool = False):
+                        kv_cache_int8: bool = False,
+                        kv_cache_quant: Optional[str] = None,
+                        kvg_quant_xla: Optional[bool] = None):
     """Build a jitted beam-search function.
 
     Returns fn(params, input_ids, attention_mask, tables)
@@ -184,10 +187,33 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     per-head power-of-2 scales — halves the decode loop's dominant cache
     bandwidth for ~0.5% score error (each slot is quantized exactly once
     at insert; scales are exact powers of two). Requires ``deferred``.
+
+    ``kv_cache_quant``: "int8" (same as kv_cache_int8=True) or "int4" —
+    packed (k, v) nibbles per byte, QUARTER the bf16 cache bytes (~7%
+    element error; validate retrieval-transparency on your model with the
+    tools/validate_int8_e2e.py pattern before trusting rankings at scale).
+
+    ``kvg_quant_xla``: quantize the pending kv rows ONCE per step in XLA
+    (ops/attend_reorder.quantize_rows_xla) BEFORE the beam-order gather,
+    so the gather moves int8 bytes (half) and the kernel inserts the row
+    verbatim instead of quantizing in every layer call. MEASURED 8% SLOWER
+    than in-kernel quantize on v5e (5.90 vs 6.39 qps, b8/beam1000/t5-base):
+    the standalone XLA quantize costs a ~455 MB/step read+write of kv_new
+    that the kernel gets for free (rows already in VMEM), and the ~150
+    MB/step gather saving doesn't cover it. Default OFF; kept as an option
+    (RIPOR_KVG_XLA=1) for geometries where the gather dominates.
     """
     M = max_steps or cfg.M
     N = num_beams
     K = cfg.K
+    # quant mode: kv_cache_quant ("int8"/"int4") generalizes the original
+    # kv_cache_int8 flag; "int4" packs (k, v) nibbles per byte (quarter the
+    # cache bytes of bf16 — see ops/attend_reorder._quantize_rows_int4)
+    if kv_cache_quant not in (None, "int8", "int4"):
+        raise ValueError(f"kv_cache_quant must be int8/int4/None, "
+                         f"got {kv_cache_quant!r}")
+    quant = kv_cache_quant or ("int8" if kv_cache_int8 else None)
+    kv_cache_int8 = quant == "int8"
     if use_pallas_gather is None:
         use_pallas_gather = jax.default_backend() == "tpu"
     model = RiporModel(
@@ -205,11 +231,26 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     spans_even = all((hi - lo) % 2 == 0
                      for lo, hi in zip([0] + bounds[:-1], bounds))
     if deferred is None:
-        deferred = use_pallas_gather and spans_even
-    if deferred:
-        assert spans_even, "deferred reorder needs even segment spans"
-    if kv_cache_int8:
-        assert deferred, "kv_cache_int8 requires the deferred decode path"
+        # quantized caches live only in the deferred path, which also has
+        # an interpret mode — so a quant request turns deferred on
+        # regardless of backend (the non-TPU fallback works, just slower)
+        deferred = (use_pallas_gather or quant is not None) and spans_even
+    if deferred and not spans_even:
+        raise ValueError(
+            f"deferred reorder needs even segment spans; M={M} with "
+            f"cache_segments={cache_segments} gives bounds {bounds} — "
+            "pick cache_segments so every span is even")
+    if quant and not deferred:
+        raise ValueError(
+            f"kv_cache_quant={quant} requires the deferred decode path, but "
+            f"the segment spans for M={M}, cache_segments={cache_segments} "
+            f"(bounds {bounds}) are not all even — adjust cache_segments")
+    if kvg_quant_xla is None:
+        import os
+        kvg_quant_xla = (kv_cache_int8
+                         and os.environ.get("RIPOR_KVG_XLA", "0") == "1")
+    assert not kvg_quant_xla or kv_cache_int8, \
+        "kvg_quant_xla only applies to the int8 cache"
     # The deferred kernel moves whole beam-row chunks; pad the beam axis
     # ONCE to a CHUNK multiple and kill ranks >= N every step (exact
     # width-N semantics) — the kernel's per-call pad fallback would copy
@@ -218,8 +259,10 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     ar_chunk = None
     if deferred:
         from ripor_tpu.ops.attend_reorder import SCALE_COLS, pick_chunk
-        rw = 2 * cfg.t5.inner_dim + (SCALE_COLS if kv_cache_int8 else 0)
-        isz = 1 if kv_cache_int8 else jnp.dtype(dtype).itemsize
+        rw = {None: 2 * cfg.t5.inner_dim,
+              "int8": 2 * cfg.t5.inner_dim + SCALE_COLS,
+              "int4": cfg.t5.inner_dim + SCALE_COLS}[quant]
+        isz = 1 if quant else jnp.dtype(dtype).itemsize
         # chunk from the LARGEST segment's slot count so every kernel call
         # in the decode shares it (and the one-time beam pad matches)
         ar_chunk = pick_chunk(bufs[-1], rw, isz)
@@ -301,7 +344,17 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             new_scores, new_state, tok, codes, src = select(
                 beam_scores, state, codes, logits, t)
             if write_back:
-                kvg = beam_gather_rows(kv_new, src)
+                if kvg_quant_xla:
+                    # quantize BEFORE the gather: int8 rows halve the
+                    # gather bytes and the kernel inserts them verbatim
+                    from ripor_tpu.ops.attend_reorder import quantize_rows_xla
+                    b_, n_ = kv_new.shape[:2]
+                    kvq = quantize_rows_xla(
+                        kv_new.reshape(b_, n_, cfg.t5.num_decoder_layers, -1),
+                        cfg.t5.num_heads).reshape(b_, n_, -1)
+                    kvg = beam_gather_rows(kvq, src)
+                else:
+                    kvg = beam_gather_rows(kv_new, src)
             return new_scores, new_state, tok, codes, new_cache, src, kvg
 
         def step(carry, t):
@@ -330,15 +383,19 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             cache = model.apply({"params": params}, B, Np, bufs[0],
                                 method=lambda m, b_, n_, l_:
                                 m.decoder.init_cache_merged(
-                                    b_, n_, l_, quantized=kv_cache_int8))
-            if kv_cache_int8:
-                from ripor_tpu.ops.attend_reorder import SCALE_COLS
-                kv_row = cache.shape[4] - SCALE_COLS
-            else:
-                kv_row = cache.shape[4]
+                                    b_, n_, l_, quantized=quant or False))
+            # the pending-kvg rows stay exact bf16 [2F] regardless of the
+            # cache's quantization (they're quantized at insert, in-kernel)
+            kv_row = 2 * cfg.t5.inner_dim if quant else cache.shape[4]
             src_prev = jnp.broadcast_to(
                 jnp.arange(Np, dtype=jnp.int32)[None, :], (B, Np))
-            kvg = jnp.zeros((B, Np, cache.shape[0] * kv_row), dtype)
+            if kvg_quant_xla:
+                # pre-quantized kvg rides in cache-row layout (int8 rows
+                # incl. scale cols); zero rows dequantize to exact zeros
+                kvg = jnp.zeros((B, Np, cache.shape[0] * cache.shape[4]),
+                                jnp.int8)
+            else:
+                kvg = jnp.zeros((B, Np, cache.shape[0] * kv_row), dtype)
             cb = jnp.zeros_like(cache)
 
             def pair_deferred(carry, ts):
@@ -428,7 +485,8 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
                                 use_pallas_gather: Optional[bool] = None,
                                 cache_segments: int = 4,
                                 deferred: Optional[bool] = None,
-                                kv_cache_int8: bool = False):
+                                kv_cache_int8: bool = False,
+                                kv_cache_quant: Optional[str] = None):
     """Data-parallel constrained beam search: queries shard over the mesh's
     'data' axis, params + trie tables replicate, each device runs the full
     decode on its query shard (replaces the reference's one-query-per-GPU
@@ -443,7 +501,8 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
                                 use_pallas_gather=use_pallas_gather,
                                 cache_segments=cache_segments,
                                 deferred=deferred,
-                                kv_cache_int8=kv_cache_int8)
+                                kv_cache_int8=kv_cache_int8,
+                                kv_cache_quant=kv_cache_quant)
 
     @jax.jit
     def run(params, input_ids, attention_mask, tables):
@@ -451,6 +510,68 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
             lambda p, i, m, tb: inner(p, i, m, tb),
             mesh=mesh,
             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False,
+        )(params, input_ids, attention_mask, tables)
+
+    return run
+
+
+def make_tp_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
+                           constrained: bool = True,
+                           max_steps: Optional[int] = None,
+                           dtype=jnp.bfloat16,
+                           use_pallas_gather: Optional[bool] = None,
+                           cache_segments: int = 4,
+                           deferred: Optional[bool] = None,
+                           kv_cache_int8: bool = False,
+                           kv_cache_quant: Optional[str] = None):
+    """Tensor-parallel (optionally x data-parallel) constrained beam search.
+
+    Attention heads, d_ff, and the KV cache shard over the mesh's 'model'
+    axis megatron-style (the per-device cache keeps the merged-head pallas
+    row layout — it simply has H/mp heads); queries shard over 'data'.
+    Output projections all-reduce over ICI inside each decode step
+    (models/layers.py::Attention.out_flat / FeedForward). Beam selection
+    and trie masking compute replicated within a model group (identical
+    inputs -> identical picks; negligible vs attention).
+
+    This is what lets t5-large run beam-1000 decode: its bf16 cache
+    (~2.7x t5-base rows) overflows a single chip's HBM that the reference
+    sidesteps with 4x A100-80GB DDP (reference README.md:23). Pass params
+    UNSHARDED (replicated/host); shard_map slices them per device.
+
+    num_heads and d_ff must divide the 'model' axis size."""
+    import dataclasses as _dc
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ripor_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+    from ripor_tpu.parallel.sharding import decode_params_pspec_tree
+
+    mp = mesh.shape[MODEL_AXIS]
+    t5 = cfg.t5
+    if t5.num_heads % mp or t5.d_ff % mp:
+        raise ValueError(f"num_heads={t5.num_heads} and d_ff={t5.d_ff} must "
+                         f"divide the model axis ({mp})")
+    cfg_local = _dc.replace(
+        cfg, t5=_dc.replace(t5, num_heads=t5.num_heads // mp,
+                            d_ff=t5.d_ff // mp, tp_axis=MODEL_AXIS))
+    inner = make_beam_search_fn(cfg_local, num_beams, constrained=constrained,
+                                max_steps=max_steps, dtype=dtype,
+                                use_pallas_gather=use_pallas_gather,
+                                cache_segments=cache_segments,
+                                deferred=deferred,
+                                kv_cache_int8=kv_cache_int8,
+                                kv_cache_quant=kv_cache_quant)
+
+    @jax.jit
+    def run(params, input_ids, attention_mask, tables):
+        specs = decode_params_pspec_tree(params)
+        return shard_map(
+            lambda p, i, m, tb: inner(p, i, m, tb),
+            mesh=mesh,
+            in_specs=(specs, P(DATA_AXIS), P(DATA_AXIS), P()),
             out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
             check_vma=False,
         )(params, input_ids, attention_mask, tables)

@@ -33,6 +33,12 @@ class T5Config:
     # activation HBM — lets train batches 2-4x larger per chip (the saved
     # attention scores OOM t5-base at batch 512 otherwise)
     remat_layers: bool = False
+    # tensor-parallel axis name (megatron-style): when set, this config
+    # describes the PER-DEVICE shard (num_heads and d_ff already divided by
+    # the axis size) and attention/FFN output projections psum over the
+    # axis. Only meaningful inside shard_map (decode TP for models whose
+    # beam-1000 KV cache overflows one chip, e.g. t5-large; VERDICT r1 #6).
+    tp_axis: "str | None" = None
 
     @property
     def inner_dim(self) -> int:

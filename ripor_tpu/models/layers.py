@@ -143,7 +143,17 @@ class Attention(nn.Module):
 
     def out(self, attn):
         b, l = attn.shape[:2]
-        return self.o(attn.reshape(b, l, self.cfg.inner_dim))
+        return self.out_flat(attn.reshape(b, l, self.cfg.inner_dim))
+
+    def out_flat(self, attn_flat):
+        """Output projection on pre-flattened [B, L, inner] attention.
+        Under tensor parallelism (cfg.tp_axis) each device holds a head
+        shard and a row shard of o — the partial products all-reduce here
+        (the megatron pattern)."""
+        y = self.o(attn_flat)
+        if self.cfg.tp_axis is not None:
+            y = jax.lax.psum(y, self.cfg.tp_axis)
+        return y
 
     def __call__(self, x, kv_input=None, bias=None):
         kv_input = x if kv_input is None else kv_input
@@ -173,7 +183,10 @@ class FeedForward(nn.Module):
         else:
             h = nn.relu(dense("wi", cfg.d_ff, cfg.d_model ** -0.5)(x))
         h = nn.Dropout(cfg.dropout_rate)(h, deterministic=deterministic)
-        return dense("wo", cfg.d_model, cfg.d_ff ** -0.5)(h)
+        y = dense("wo", cfg.d_model, cfg.d_ff ** -0.5)(h)
+        if cfg.tp_axis is not None:   # megatron row-parallel wo all-reduce
+            y = jax.lax.psum(y, cfg.tp_axis)
+        return y
 
 
 def padding_bias(mask: jnp.ndarray) -> jnp.ndarray:

@@ -169,7 +169,7 @@ class DecoderLayer(nn.Module):
     def step_finish_with_attn(self, x, attn_flat, enc_k, enc_v, enc_bias):
         """Residual + output proj for a precomputed self-attention result
         [B, N, inner_dim] (pallas step_attention path), then cross + FFN."""
-        x = x + self.self_attn.o(attn_flat)
+        x = x + self.self_attn.out_flat(attn_flat)
         h = self.cross_attn_norm(x)
         cq = self.cross_attn.project_q(h)
         attn = _step_cross_attention(cq, enc_k, enc_v, enc_bias, self.dtype)
@@ -179,11 +179,11 @@ class DecoderLayer(nn.Module):
 
     def _proj_out(self, attn):
         b, n = attn.shape[:2]
-        return self.self_attn.o(attn.reshape(b, n, self.cfg.inner_dim))
+        return self.self_attn.out_flat(attn.reshape(b, n, self.cfg.inner_dim))
 
     def _proj_out_cross(self, attn):
         b, n = attn.shape[:2]
-        return self.cross_attn.o(attn.reshape(b, n, self.cfg.inner_dim))
+        return self.cross_attn.out_flat(attn.reshape(b, n, self.cfg.inner_dim))
 
 
 class Decoder(nn.Module):
@@ -278,19 +278,22 @@ class Decoder(nn.Module):
                                   enc_k, enc_v, enc_bias, bias_row)
         return self.final_norm(x), cache, None
 
-    def init_cache_merged(self, batch: int, num_beams: int,
-                          max_len: int, quantized: bool = False) -> jnp.ndarray:
+    def init_cache_merged(self, batch: int, num_beams: int, max_len: int,
+                          quantized: "bool | str" = False) -> jnp.ndarray:
         """K|V-merged cache [L, B, N, Mc, 2*H*D] for the deferred decode
         path: one row carries a beam's keys AND values so the gather moves
         it with a single DMA (ops/attend_reorder.py layout contract).
-        ``quantized``: int8 rows with SCALE_COLS extra columns of per-head
-        power-of-2 exponents — halves the decode loop's cache bandwidth."""
+        ``quantized``: True/"int8" — int8 rows with SCALE_COLS extra columns
+        of per-head power-of-2 exponents (halves the decode loop's cache
+        bandwidth); "int4" — packed nibble rows [inner + SCALE_COLS]
+        (quarter bandwidth; K in low nibbles, V in high)."""
         cfg = self.cfg
         if quantized:
             from ripor_tpu.ops.attend_reorder import SCALE_COLS
+            payload = (cfg.inner_dim if quantized == "int4"
+                       else 2 * cfg.inner_dim)
             return jnp.zeros((cfg.num_decoder_layers, batch, num_beams,
-                              max_len, 2 * cfg.inner_dim + SCALE_COLS),
-                             jnp.int8)
+                              max_len, payload + SCALE_COLS), jnp.int8)
         return jnp.zeros((cfg.num_decoder_layers, batch, num_beams,
                           max_len, 2 * cfg.inner_dim), self.dtype)
 

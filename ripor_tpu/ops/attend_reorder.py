@@ -74,7 +74,16 @@ def pick_chunk(mc_max: int, row_width: int, itemsize: int) -> int:
         # mc 32) the full CHUNK is known to fit AND is ~8% faster at
         # batch 8 than chunk 24, so don't shrink there.
         c = min(c, 15_500_000 // max(1, 13 * mc_max * f_elems))
-    return max(8, (c // 8) * 8)
+    if c < 8:
+        # even the minimum 8-row chunk would blow scoped VMEM (very wide
+        # rows x long cache, e.g. t5-3b with mc_max > 64): refuse rather
+        # than hand Mosaic a kernel that fails to compile — the caller
+        # should shrink cache segments (smaller Mc per buffer)
+        raise ValueError(
+            f"attend_reorder cannot fit an 8-row chunk in scoped VMEM "
+            f"(mc_max={mc_max}, row_width={row_width}, itemsize={itemsize}); "
+            f"use more/smaller cache segments so mc_max shrinks")
+    return (c // 8) * 8
 # writeback rows per DMA descriptor. The gather READ is per-row by nature
 # (scattered sources) but the writeback destination rows are CONTIGUOUS
 # (dest index = c*CHUNK + j), so they can share descriptors. Measured
@@ -82,9 +91,19 @@ def pick_chunk(mc_max: int, row_width: int, itemsize: int) -> int:
 # latency-bound, not issue-bound) — kept because fewer descriptors cost
 # nothing and relieve queue pressure for bigger geometries.
 WGROUP = int(os.environ.get("RIPOR_AR_WGROUP", "8"))
+# force f32 score/prob dots in the deferred kernel even for bf16 caches —
+# exact-parity audit mode (ADVICE r1: deferred bf16 dots shift decode
+# numerics ~1e-3 relative vs the non-deferred kernel's f32 dots)
+_F32_DOTS = os.environ.get("RIPOR_AR_F32_DOTS", "0") == "1"
 # int8 cache rows append this many int8 columns; the first 2H hold the
 # per-head power-of-2 quantization exponents (K heads then V heads)
 SCALE_COLS = 128
+# int4 rows halve the payload again: byte j of the [F] payload packs
+# (k_j, v_j) as offset-binary nibbles (+8; K in the LOW nibble, V in the
+# HIGH) so unpacking needs no interleave — the low-nibble plane IS the K
+# half of the merged row and the high-nibble plane IS the V half. Same
+# SCALE_COLS exponent tail, with e = ceil(log2(absmax/7)) per head.
+_INT4_OFFSET = 8
 
 
 def _quantize_rows(x, num_heads: int):
@@ -111,20 +130,91 @@ def _quantize_rows(x, num_heads: int):
     return q8, epad
 
 
+def _quantize_rows_int4(x, num_heads: int):
+    """Quantize bf16/f32 K|V rows [C, 2F] to PACKED int4 [C, F]: byte j
+    holds (k_j + 8) | ((v_j + 8) << 4) with per-head power-of-2 scales
+    e = ceil(log2(absmax/7)) — 4x smaller rows than bf16 (the row DMAs are
+    the decode budget's dominant term), ~7% element error (validate
+    retrieval-transparency per geometry with tools/validate_int8_e2e.py's
+    pattern before trusting rankings). Returns (packed [C, F] int8,
+    epad [C, SCALE_COLS] int8)."""
+    C, F2 = x.shape
+    F = F2 // 2
+    G = 2 * num_heads
+    D = F2 // G
+
+    def quant_half(xh):                  # [C, F] -> (int32 in [0,15], e8)
+        qs, es = [], []
+        for h in range(num_heads):
+            xg = xh[:, h * D:(h + 1) * D].astype(jnp.float32)
+            am = jnp.max(jnp.abs(xg), axis=1, keepdims=True)
+            e = jnp.ceil(jnp.log2(jnp.maximum(am, 1e-30) / 7.0))
+            e = jnp.clip(e, -100.0, 100.0)
+            q = jnp.clip(jnp.round(xg * jnp.exp2(-e)), -8, 7)
+            qs.append(q.astype(jnp.int32) + _INT4_OFFSET)
+            es.append(e.astype(jnp.int8))
+        return (jnp.concatenate(qs, axis=1),
+                jnp.concatenate(es, axis=1))
+
+    qk, ek = quant_half(x[:, :F])
+    qv, ev = quant_half(x[:, F:])
+    p = qk | (qv << 4)                                  # int32 in [0, 255]
+    packed = jnp.where(p >= 128, p - 256, p).astype(jnp.int8)
+    e8 = jnp.concatenate([ek, ev], axis=1)              # [C, G]
+    epad = jnp.pad(e8, ((0, 0), (0, SCALE_COLS - G)))
+    return packed, epad
+
+
+def _unpack_int4(raw):
+    """[..., F] packed int4 bytes -> (k, v) bf16 planes [..., F]."""
+    r = raw.astype(jnp.int32)
+    k = ((r & 15) - _INT4_OFFSET).astype(jnp.bfloat16)
+    v = (((r >> 4) & 15) - _INT4_OFFSET).astype(jnp.bfloat16)
+    return k, v
+
+
+def quantize_rows_xla(x, num_heads: int):
+    """XLA-side batched mirror of ``_quantize_rows``: [..., 2F] bf16/f32 ->
+    [..., 2F+SCALE_COLS] int8 rows (q8 then per-head exponents then pad).
+    Running this ONCE per decode step over kv_new (before the beam-order
+    gather) halves the kvg gather's bytes and removes the in-kernel
+    quantize from every layer call (CLAUDE.md batch-8 budget lever)."""
+    G = 2 * num_heads
+    lead, F2 = x.shape[:-1], x.shape[-1]
+    D = F2 // G
+    xg = x.reshape(*lead, G, D).astype(jnp.float32)
+    am = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
+    e = jnp.ceil(jnp.log2(jnp.maximum(am, 1e-30) / 127.0))
+    e = jnp.clip(e, -100.0, 100.0)
+    q8 = jnp.round(xg * jnp.exp2(-e)).astype(jnp.int8).reshape(*lead, F2)
+    e8 = e[..., 0].astype(jnp.int8)                        # [..., G]
+    pad = [(0, 0)] * len(lead) + [(0, SCALE_COLS - G)]
+    return jnp.concatenate([q8, jnp.pad(e8, pad)], axis=-1)
+
+
 def _attn_math_q8(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
                   buf, t, num_heads: int):
     """_attn_math for int8 cache rows [C, Mc, 2F+SCALE_COLS]: dequantize
-    scores per head with the stored exponents; slot t-1 (not yet in the
-    cache) is taken EXACTLY from the bf16 ``kvg``. Returns [C, F] f32."""
+    scores per head with the stored exponents. Slot t-1 (not yet in the
+    cache) comes from ``kvg``: either EXACT bf16 [C, 2F] rows (in-kernel
+    quantize mode) or pre-quantized int8 [C, RW] rows (XLA-quantize mode,
+    where the row simply overwrites slot t-1 before uniform dequant math).
+    Returns [C, F] f32."""
     C, F = q_ref.shape[1], q_ref.shape[2]
     Mc = buf.shape[1]
     H = num_heads
+    kvg_q8 = kvg_ref.dtype == jnp.int8
     head_of = jax.lax.broadcasted_iota(jnp.int32, (F, H), 0) // (F // H)
     head_mask = (head_of == jax.lax.broadcasted_iota(jnp.int32, (F, H), 1))
     hm = head_mask.astype(jnp.bfloat16)
     slot_m = jax.lax.broadcasted_iota(jnp.int32, (1, Mc, 1), 1)
 
     raw = buf[...]                                       # [C, Mc, RW] int8
+    if kvg_q8:
+        # pre-quantized kvg row (same layout as cache rows): complete the
+        # deferred insert in-register, then ALL slots go through one
+        # uniform dequant path
+        raw = jnp.where(slot_m == t - 1, kvg_ref[0][:, None, :], raw)
     # int8 -> bf16 is EXACT (|v| <= 127 fits bf16's 8-bit mantissa); bf16
     # products keep the [C, Mc, F] temporaries half the size of f32 (the
     # scoped-VMEM stack is the binding constraint for wide rows)
@@ -136,6 +226,65 @@ def _attn_math_q8(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
 
     qb = q_ref[0].astype(jnp.bfloat16)
     kq = (k8 * qb[:, None, :]).reshape(C * Mc, F)
+    s_hist = jax.lax.dot(kq, hm,
+                         preferred_element_type=jnp.float32).reshape(C, Mc, H)
+    s_hist = s_hist * ek
+    if not kvg_q8:
+        kvg_k = kvg_ref[0][:, :F].astype(jnp.bfloat16)
+        kvg_v = kvg_ref[0][:, F:].astype(jnp.bfloat16)
+        s_t1 = jax.lax.dot(kvg_k * qb, hm,
+                           preferred_element_type=jnp.float32)     # [C, H]
+        s_hist = jnp.where(slot_m == t - 1, s_t1[:, None, :], s_hist)
+    s_hist = s_hist + bias_hist_ref[...].astype(jnp.float32)[None]
+
+    k_new = kvnew_ref[0][:, :F].astype(jnp.bfloat16)
+    v_new = kvnew_ref[0][:, F:]
+    s_new = jax.lax.dot(k_new * qb,
+                        hm, preferred_element_type=jnp.float32)    # [C, H]
+    s_new = s_new + bias_new_ref[...].astype(jnp.float32)
+
+    scores = jnp.concatenate([s_hist, s_new[:, None, :]], axis=1)
+    probs = jax.nn.softmax(scores, axis=1)               # [C, Mc+1, H]
+    # fold the per-(slot, head) V scale into the probs BEFORE the head
+    # expansion: out_f = sum_m probs[c,m,h(f)] * 2^ev[c,m,h(f)] * v8 —
+    # saves a second [H, F] expansion dot and a f32 [C, Mc, F] multiply.
+    # In-kernel-quantize mode slot t-1 uses the exact bf16 kvg_v (scale 1).
+    if kvg_q8:
+        ps = probs[:, :Mc] * ev
+        vb = v8
+    else:
+        ps = probs[:, :Mc] * jnp.where(slot_m == t - 1, 1.0, ev)
+        vb = jnp.where(slot_m == t - 1, kvg_v[:, None, :], v8)   # bf16
+    pe = jax.lax.dot(ps.reshape(C * Mc, H).astype(jnp.bfloat16),
+                     hm.T, preferred_element_type=jnp.float32).reshape(C, Mc, F)
+    out = jnp.sum(pe.astype(jnp.bfloat16) * vb, axis=1, dtype=jnp.float32)
+    pn = jax.lax.dot(probs[:, Mc].astype(jnp.bfloat16), hm.T,
+                     preferred_element_type=jnp.float32)           # [C, F]
+    return out + pn * v_new.astype(jnp.float32)
+
+
+def _attn_math_q4(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
+                  buf, t, num_heads: int):
+    """_attn_math for PACKED int4 cache rows [C, Mc, F+SCALE_COLS]: the low
+    nibble plane is the K half, the high nibble plane the V half (no
+    interleave — see _INT4_OFFSET note). Slot t-1 (not yet in the cache) is
+    taken EXACTLY from the bf16 ``kvg``. Returns [C, F] f32."""
+    C, F = q_ref.shape[1], q_ref.shape[2]
+    Mc = buf.shape[1]
+    H = num_heads
+    head_of = jax.lax.broadcasted_iota(jnp.int32, (F, H), 0) // (F // H)
+    head_mask = (head_of == jax.lax.broadcasted_iota(jnp.int32, (F, H), 1))
+    hm = head_mask.astype(jnp.bfloat16)
+    slot_m = jax.lax.broadcasted_iota(jnp.int32, (1, Mc, 1), 1)
+
+    raw = buf[...]                               # [C, Mc, F+SC] packed int8
+    k4, v4 = _unpack_int4(raw[:, :, :F])         # bf16 planes (exact ints)
+    ef = raw[:, :, F:].astype(jnp.float32)       # [C, Mc, SCALE_COLS]
+    ek = jnp.exp2(ef[:, :, :H])                  # [C, Mc, H]
+    ev = jnp.exp2(ef[:, :, H:2 * H])
+
+    qb = q_ref[0].astype(jnp.bfloat16)
+    kq = (k4 * qb[:, None, :]).reshape(C * Mc, F)
     s_hist = jax.lax.dot(kq, hm,
                          preferred_element_type=jnp.float32).reshape(C, Mc, H)
     s_hist = s_hist * ek
@@ -154,14 +303,12 @@ def _attn_math_q8(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
 
     scores = jnp.concatenate([s_hist, s_new[:, None, :]], axis=1)
     probs = jax.nn.softmax(scores, axis=1)               # [C, Mc+1, H]
-    # fold the per-(slot, head) V scale into the probs BEFORE the head
-    # expansion: out_f = sum_m probs[c,m,h(f)] * 2^ev[c,m,h(f)] * v8 —
-    # saves a second [H, F] expansion dot and a f32 [C, Mc, F] multiply.
-    # Slot t-1 uses the exact bf16 kvg_v, so its scale is 1.
+    # per-(slot, head) V scale folded into probs pre-expansion (same trick
+    # as _attn_math_q8); slot t-1 uses the exact bf16 kvg_v (scale 1)
     ps = probs[:, :Mc] * jnp.where(slot_m == t - 1, 1.0, ev)
     pe = jax.lax.dot(ps.reshape(C * Mc, H).astype(jnp.bfloat16),
                      hm.T, preferred_element_type=jnp.float32).reshape(C, Mc, F)
-    vb = jnp.where(slot_m == t - 1, kvg_v[:, None, :], v8)   # bf16
+    vb = jnp.where(slot_m == t - 1, kvg_v[:, None, :], v4)   # bf16
     out = jnp.sum(pe.astype(jnp.bfloat16) * vb, axis=1, dtype=jnp.float32)
     pn = jax.lax.dot(probs[:, Mc].astype(jnp.bfloat16), hm.T,
                      preferred_element_type=jnp.float32)           # [C, F]
@@ -194,7 +341,10 @@ def _attn_math(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
     # in production: 4x the f32 MXU rate; products are rounded to bf16
     # before the f32 accumulation, ~1e-3 relative, inside the decode path's
     # bf16 tolerance — f32 models keep exact-parity f32 dots).
-    dot_dt = buf.dtype
+    # RIPOR_AR_F32_DOTS=1 forces the f32 path for bf16 models too
+    # (exact-parity audits vs the non-deferred kernel on hardware; costs
+    # VMEM headroom — not for F > 2048 rows).
+    dot_dt = jnp.float32 if _F32_DOTS else buf.dtype
     hm = head_mask.astype(dot_dt)
     if dot_dt == jnp.float32:
         # exact path (CPU parity tests with f32 models)
@@ -234,7 +384,7 @@ def _attn_math(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
 def _kernel(src_ref, lt_ref, q_ref, kvnew_ref, kvg_ref, bias_hist_ref,
             bias_new_ref, cache_ref, dst_ref, cache_out_ref, attn_ref,
             buf, isems, osems, *, num_heads: int, write_back: bool,
-            pipelined: bool, quantized: bool, chunk: int):
+            pipelined: bool, quant: "str | None", chunk: int):
     """Grid cell body. ``pipelined``: double-buffer the row DMAs across grid
     cells — cell i+1's gather reads are issued before cell i's compute, and
     cell i's writeback is only waited when its buffer half is next reused —
@@ -306,10 +456,16 @@ def _kernel(src_ref, lt_ref, q_ref, kvnew_ref, kvg_ref, bias_hist_ref,
         # vectorized insert over the whole chunk; quantized caches get the
         # row int8-quantized HERE, exactly once), then stream the ordered
         # rows out in contiguous WGROUP-row descriptors
-        if quantized:
+        if quant == "int4":
+            q4, epad = _quantize_rows_int4(kvg_ref[0], num_heads)
+            ins_row = jnp.concatenate([q4, epad], axis=1)
+        elif quant == "int8" and kvg_ref.dtype != jnp.int8:
+            # in-kernel quantize mode: kvg is exact bf16, quantize at insert
             q8, epad = _quantize_rows(kvg_ref[0], num_heads)
             ins_row = jnp.concatenate([q8, epad], axis=1)
         else:
+            # bf16 cache, or XLA-quantize mode (kvg already int8 rows in
+            # cache layout — quantize_rows_xla ran once before the gather)
             ins_row = kvg_ref[0]
         buf[cur] = jnp.where(slot[None] == t - 1, ins_row[:, None, :],
                              buf[cur])
@@ -319,7 +475,8 @@ def _kernel(src_ref, lt_ref, q_ref, kvnew_ref, kvg_ref, bias_hist_ref,
                 cache_out_ref.at[l, b, pl.ds(c * chunk + j, wg)],
                 osems.at[cur]).start()
 
-    math_fn = _attn_math_q8 if quantized else _attn_math
+    math_fn = {"int8": _attn_math_q8, "int4": _attn_math_q4,
+               None: _attn_math}[quant]
     out = math_fn(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
                   buf.at[cur], t, num_heads)
     attn_ref[0] = out.astype(attn_ref.dtype)
@@ -361,12 +518,22 @@ def step_attend_reorder(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
     B, N, F = q.shape
     L = cache_src.shape[0]
     Mc = cache_src.shape[3]
-    quantized = cache_src.dtype == jnp.int8
-    RW = 2 * F + (SCALE_COLS if quantized else 0)
+    # quant mode is encoded by dtype + row width: int8 rows are
+    # [2F + SCALE_COLS], packed-int4 rows are [F + SCALE_COLS]
+    if cache_src.dtype == jnp.int8:
+        quant = "int4" if cache_src.shape[4] == F + SCALE_COLS else "int8"
+    else:
+        quant = None
+    RW = {None: 2 * F, "int8": 2 * F + SCALE_COLS,
+          "int4": F + SCALE_COLS}[quant]
+    # XLA-quantize mode: kvg arrives pre-quantized in cache-row layout
+    kvg_q8 = kvg.dtype == jnp.int8
+    assert not kvg_q8 or quant == "int8", "int8 kvg needs an int8 cache"
+    kvg_rw = RW if kvg_q8 else 2 * F
     assert cache_src.shape[1] == B and cache_src.shape[2] == N, cache_src.shape
     assert cache_src.shape[4] == RW, (cache_src.shape, RW)
     assert kv_new.shape == (B, N, 2 * F), kv_new.shape
-    assert kvg.shape == (B, N, L * 2 * F), kvg.shape
+    assert kvg.shape == (B, N, L * kvg_rw), kvg.shape
     assert src.shape == (B, N), src.shape
     if chunk is None:
         chunk = pick_chunk(Mc, RW, cache_src.dtype.itemsize)
@@ -387,7 +554,7 @@ def step_attend_reorder(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
     kernel = functools.partial(_kernel, num_heads=num_heads,
                                write_back=write_back,
                                pipelined=not interpret,
-                               quantized=quantized, chunk=chunk)
+                               quant=quant, chunk=chunk)
     lt = jnp.stack([jnp.asarray(layer, jnp.int32),
                     jnp.asarray(t, jnp.int32)]).reshape(2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -396,9 +563,9 @@ def step_attend_reorder(q, kv_new, kvg, cache_src, cache_dst, src, layer, t,
         in_specs=[
             pl.BlockSpec((1, chunk, F), lambda b, c, s, lt_: (b, c, 0)),
             pl.BlockSpec((1, chunk, 2 * F), lambda b, c, s, lt_: (b, c, 0)),
-            # kvg is [B, N, L*2F]; block index lt_[0] slices THIS layer's
-            # [2F] span out of the layer-major row
-            pl.BlockSpec((1, chunk, 2 * F), lambda b, c, s, lt_: (b, c, lt_[0])),
+            # kvg is [B, N, L*kvg_rw]; block index lt_[0] slices THIS
+            # layer's [kvg_rw] span out of the layer-major row
+            pl.BlockSpec((1, chunk, kvg_rw), lambda b, c, s, lt_: (b, c, lt_[0])),
             pl.BlockSpec((Mc, num_heads), lambda b, c, s, lt_: (0, 0)),
             pl.BlockSpec((1, num_heads), lambda b, c, s, lt_: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),

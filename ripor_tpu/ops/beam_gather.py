@@ -58,11 +58,12 @@ def beam_gather_rows(cache: jnp.ndarray, src: jnp.ndarray,
             [cache, jnp.zeros((G, pad, F), cache.dtype)], axis=1)
         out = beam_gather_rows(cache_p, src, interpret=interpret)
         return out[:, :N]
-    if F % 1024 != 0:
-        # row payload is viewed as [F/128, 128]; Mosaic block slices need
-        # the sublane dim (F/128) to be a multiple of 8 as well -> pad F
-        # to a multiple of 8*128
-        pad = 1024 - F % 1024
+    # row payload is viewed as [F/128, 128]; Mosaic block slices need the
+    # sublane dim (F/128) to be a multiple of the dtype's native sublane
+    # count (8 for >=16-bit, 32 for int8) -> pad F accordingly
+    align = 128 * (32 if cache.dtype.itemsize == 1 else 8)
+    if F % align != 0:
+        pad = align - F % align
         cache_p = jnp.concatenate(
             [cache, jnp.zeros((G, N, pad), cache.dtype)], axis=2)
         return beam_gather_rows(cache_p, src, interpret=interpret)[:, :, :F]

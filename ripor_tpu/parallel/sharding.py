@@ -46,6 +46,26 @@ def params_pspec_tree(params):
     return jax.tree_util.tree_map_with_path(param_partition_spec, params)
 
 
+def decode_param_partition_spec(path: tuple, leaf: Any) -> P:
+    """TP PartitionSpec for one parameter on the DECODE path (shard_map):
+    like :func:`param_partition_spec` except (a) the token embedding
+    replicates — lookups use global ids, a vocab shard would zero OOV rows —
+    and (b) relative-position bias tables [buckets, H] shard by head so the
+    per-device attention sees exactly its head slice."""
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    joined = "/".join(str(n) for n in names)
+    if joined.endswith("shared/embedding"):
+        return P()
+    if joined.endswith("rel_bias/rel_embedding"):
+        return P(None, MODEL_AXIS)
+    return param_partition_spec(path, leaf)
+
+
+def decode_params_pspec_tree(params):
+    return jax.tree_util.tree_map_with_path(decode_param_partition_spec,
+                                            params)
+
+
 def shard_params(params, mesh: Mesh):
     """Device-put params with TP/replication shardings."""
     specs = params_pspec_tree(params)

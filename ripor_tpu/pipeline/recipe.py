@@ -157,14 +157,17 @@ def stage_retrieve(ws: Workspace, cfg: RiporConfig, params, tok: TextTokenizer,
                    num_beams: int = 10, topk: int = 100,
                    max_length: int = 64, batch_size: int = 8,
                    run_name: str = "run.json",
-                   kv_cache_int8: bool = False) -> Dict[str, Dict[str, float]]:
+                   kv_cache_int8: bool = False,
+                   kv_cache_quant: str = None) -> Dict[str, Dict[str, float]]:
     """Constrained-beam retrieval over all queries -> trec run dict
     (reference t5seq_aq_retrieve_docids, evaluate.py:396-526).
-    ``kv_cache_int8``: quantized decode cache (see make_beam_search_fn)."""
+    ``kv_cache_int8``/``kv_cache_quant``: quantized decode cache
+    (see make_beam_search_fn; "int4" packs nibble rows)."""
     import jax
     from ripor_tpu.trie.succinct import succinct_tables
     fn = make_beam_search_fn(cfg, num_beams, constrained=True,
-                             kv_cache_int8=kv_cache_int8)
+                             kv_cache_int8=kv_cache_int8,
+                             kv_cache_quant=kv_cache_quant)
     tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
     run: Dict[str, Dict[str, float]] = {}
     n = len(queries)

@@ -34,7 +34,11 @@ class TrieTables(NamedTuple):
     bits: "np.ndarray"          # uint32 [nodes, ceil(K/32)]
     node_base: "np.ndarray"     # int32 [nodes + 1]
     edge_child: "np.ndarray"    # int32 [E]
-    unique_codes: "np.ndarray"  # int32 [G, M]
+    # narrowest uint dtype that holds K-1 (uint8 for K<=256): at 8.8M docs
+    # this [G, M] table is the dominant HBM term (int32 would be 1.1 GB at
+    # M=32; uint8 is 282 MB) and it competes with the int8 KV cache for
+    # headroom (SURVEY §7.3). Consumers cast the gathered scalar up.
+    unique_codes: "np.ndarray"  # uint8/uint16/int32 [G, M]
 
 
 def succinct_tables(trie) -> TrieTables:
@@ -54,8 +58,10 @@ def succinct_tables(trie) -> TrieTables:
     node_base = np.zeros(nodes + 1, np.int32)
     np.cumsum(deg, out=node_base[1:], dtype=np.int32)
     edge_child = children[children != -1].astype(np.int32)  # (node, tok) order
+    code_dt = (np.uint8 if K <= 256
+               else np.uint16 if K <= 65536 else np.int32)
     return TrieTables(bits=bits, node_base=node_base, edge_child=edge_child,
-                      unique_codes=np.asarray(trie.unique_codes, np.int32))
+                      unique_codes=np.asarray(trie.unique_codes, code_dt))
 
 
 def dummy_tables(M: int) -> TrieTables:

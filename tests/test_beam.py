@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ripor_tpu.decode import beam_search, expand_groups_to_docids
 from ripor_tpu.models import RiporModel, ripor_small
@@ -211,11 +212,164 @@ def test_quantize_rows_roundtrip_error_bound():
         np.max(np.abs(recon - xg) / bound)
 
 
-def test_deferred_int8_cache_close_to_xla_path():
+def test_quantize_rows_int4_pack_unpack_roundtrip():
+    """Packed-int4 rows: byte j holds (k_j lo-nibble, v_j hi-nibble)
+    offset-binary; _unpack_int4 must invert the pack exactly, and the
+    dequantized values must reconstruct within the 3-bit bound
+    |x - q*2^e| <= 2^e / 2 with e = ceil(log2(absmax/7))."""
+    from ripor_tpu.ops.attend_reorder import (SCALE_COLS, _quantize_rows_int4,
+                                              _unpack_int4)
+    rng = np.random.default_rng(4)
+    H, D, C = 4, 32, 16
+    F = H * D
+    x = jnp.asarray(rng.standard_normal((C, 2 * F)) *
+                    rng.lognormal(0, 2, (C, 1)), jnp.float32)
+    packed, epad = _quantize_rows_int4(x, H)
+    assert packed.shape == (C, F) and packed.dtype == jnp.int8
+    assert epad.shape == (C, SCALE_COLS)
+    k4, v4 = _unpack_int4(packed)
+    k4, v4 = np.asarray(k4, np.float32), np.asarray(v4, np.float32)
+    assert np.all(np.abs(k4) <= 8) and np.all(np.abs(v4) <= 8)
+    e = np.asarray(epad, np.float32)
+    ek = np.exp2(e[:, :H])[:, :, None]                   # [C, H, 1]
+    ev = np.exp2(e[:, H:2 * H])[:, :, None]
+    xk = np.asarray(x[:, :F]).reshape(C, H, D)
+    xv = np.asarray(x[:, F:]).reshape(C, H, D)
+    for recon, xg, sc in ((k4.reshape(C, H, D) * ek, xk, ek),
+                          (v4.reshape(C, H, D) * ev, xv, ev)):
+        # round+clip bound: half a quantization step per element
+        assert np.all(np.abs(recon - xg) <= sc / 2 + 1e-7), \
+            np.max(np.abs(recon - xg) / sc)
+
+
+def test_int4_kernel_matches_dequantized_reference():
+    """step_attend_reorder with a packed-int4 cache must equal XLA attention
+    over the DEQUANTIZED cache values (slot t-1 exact from kvg) to bf16-dot
+    rounding — this is the kernel-correctness gate; e2e drift is then pure
+    quantization noise, bounded by the roundtrip test above."""
+    from ripor_tpu.ops.attend_reorder import (SCALE_COLS, _quantize_rows_int4,
+                                              _unpack_int4,
+                                              step_attend_reorder)
+    rng = np.random.default_rng(0)
+    B, N, H, D, Mc, L, t = 1, 8, 4, 32, 8, 2, 4
+    F = H * D
+    kv_hist = rng.standard_normal((L, B, N, Mc, 2 * F)).astype(np.float32)
+    cache = np.zeros((L, B, N, Mc, F + SCALE_COLS), np.int8)
+    deq = np.zeros((L, B, N, Mc, 2 * F), np.float32)
+    for l in range(L):
+        for b in range(B):
+            for n in range(N):
+                p, e = _quantize_rows_int4(jnp.asarray(kv_hist[l, b, n]), H)
+                cache[l, b, n] = np.concatenate([np.asarray(p),
+                                                 np.asarray(e)], 1)
+                k4, v4 = _unpack_int4(p)
+                ee = np.asarray(e, np.float32)
+                ek = np.repeat(np.exp2(ee[:, :H]), D, axis=1)
+                ev = np.repeat(np.exp2(ee[:, H:2 * H]), D, axis=1)
+                deq[l, b, n, :, :F] = np.asarray(k4, np.float32) * ek
+                deq[l, b, n, :, F:] = np.asarray(v4, np.float32) * ev
+
+    q = rng.standard_normal((B, N, F)).astype(np.float32)
+    kv_new = rng.standard_normal((B, N, 2 * F)).astype(np.float32)
+    kvg = rng.standard_normal((B, N, L * 2 * F)).astype(np.float32)
+    src = np.broadcast_to(np.arange(N, dtype=np.int32), (B, N)).copy()
+    bias_hist = (np.where(np.arange(Mc)[:, None] < t, 0.0, -1e30)
+                 * np.ones((Mc, H))).astype(np.float32)
+    bias_new = np.zeros((1, H), np.float32)
+
+    l = 1
+    attn, newc = step_attend_reorder(
+        jnp.asarray(q), jnp.asarray(kv_new), jnp.asarray(kvg),
+        jnp.asarray(cache), jnp.asarray(cache.copy()), jnp.asarray(src),
+        l, t, jnp.asarray(bias_hist), jnp.asarray(bias_new), H,
+        interpret=True, chunk=8)
+
+    hist = deq[l].copy()
+    hist[:, :, t - 1, :] = kvg[:, :, l * 2 * F:(l + 1) * 2 * F]
+    k_h = hist[..., :F].reshape(B, N, Mc, H, D)
+    v_h = hist[..., F:].reshape(B, N, Mc, H, D)
+    qh = q.reshape(B, N, H, D)
+    kn = kv_new[..., :F].reshape(B, N, H, D)
+    vn = kv_new[..., F:].reshape(B, N, H, D)
+    s_hist = np.einsum('bnmhd,bnhd->bnmh', k_h, qh) + bias_hist[None, None]
+    s_new = np.einsum('bnhd,bnhd->bnh', kn, qh)[:, :, None, :]
+    sc = np.concatenate([s_hist, s_new], axis=2)
+    p = np.exp(sc - sc.max(2, keepdims=True))
+    p /= p.sum(2, keepdims=True)
+    want = (np.einsum('bnmh,bnmhd->bnhd', p[:, :, :Mc], v_h)
+            + p[:, :, Mc][..., None] * vn).reshape(B, N, F)
+    got = np.asarray(attn)
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.01, rel
+    # the writeback must insert EXACTLY the quantizer's packed row at t-1
+    ins = np.asarray(newc)[l, 0, 0, t - 1]
+    pk, pe = _quantize_rows_int4(
+        jnp.asarray(kvg[0, :, l * 2 * F:(l + 1) * 2 * F]), H)
+    np.testing.assert_array_equal(
+        ins, np.concatenate([np.asarray(pk), np.asarray(pe)], 1)[0])
+
+
+def test_deferred_int4_cache_retrieval_robust():
+    """Packed-int4 KV cache e2e vs the exact XLA path: top-1 beam identical
+    and the retrieved top-5 group sets mostly overlap. Unlike int8 (0.5%
+    score error), int4's 3-bit mantissa (~7%/element) drifts cumulative
+    scores of a RANDOM-INit model by O(1) over 6 steps, so positional score
+    comparison is meaningless — code-set semantics are the right gate (the
+    kernel itself is exactness-tested above)."""
+    from ripor_tpu.decode.beam import make_beam_search_fn
+    from ripor_tpu.trie.succinct import succinct_tables
+
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=6, K=8, n_docs=40)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+    ref_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                                 use_pallas_gather=False, deferred=False)
+    q4_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                                use_pallas_gather=False, deferred=True,
+                                cache_segments=3, kv_cache_quant="int4")
+    s0, c0, st0 = ref_fn(params, ids, mask, tables)
+    s1, c1, st1 = q4_fn(params, ids, mask, tables)
+    s0, s1 = np.asarray(s0), np.asarray(s1)
+    c0, c1 = np.asarray(c0), np.asarray(c1)
+    B = s0.shape[0]
+    np.testing.assert_array_equal(c0[:, 0], c1[:, 0])
+    for b in range(B):
+        set0 = {tuple(r) for r, sc in zip(c0[b], s0[b]) if sc > -1e29}
+        set1 = {tuple(r) for r, sc in zip(c1[b], s1[b]) if sc > -1e29}
+        assert len(set0 & set1) >= min(len(set0), len(set1)) - 1, \
+            (b, set0, set1)
+        # scores compared BY CODE for codes both paths retrieved
+        m0 = {tuple(r): sc for r, sc in zip(c0[b], s0[b]) if sc > -1e29}
+        m1 = {tuple(r): sc for r, sc in zip(c1[b], s1[b]) if sc > -1e29}
+        for code in set0 & set1:
+            np.testing.assert_allclose(m1[code], m0[code], rtol=0.2,
+                                       atol=0.6)
+
+
+def test_quantize_rows_xla_matches_kernel_quantizer():
+    """quantize_rows_xla (once-per-step XLA quantize, pre-gather) must be
+    bit-identical to the in-kernel _quantize_rows on every row."""
+    from ripor_tpu.ops.attend_reorder import (SCALE_COLS, _quantize_rows,
+                                              quantize_rows_xla)
+    rng = np.random.default_rng(1)
+    H, D, B, N, L = 4, 32, 2, 6, 3
+    x = jnp.asarray(rng.standard_normal((B, N, L, 2 * H * D)) *
+                    rng.lognormal(0, 2, (B, N, L, 1)), jnp.float32)
+    got = np.asarray(quantize_rows_xla(x, H))
+    assert got.shape == (B, N, L, 2 * H * D + SCALE_COLS)
+    for b in range(B):
+        for n in range(N):
+            q8, epad = _quantize_rows(x[b, n], H)
+            want = np.concatenate([np.asarray(q8), np.asarray(epad)], axis=1)
+            np.testing.assert_array_equal(got[b, n], want)
+
+
+@pytest.mark.parametrize("kvg_xla", [False, True])
+def test_deferred_int8_cache_close_to_xla_path(kvg_xla):
     """The int8-quantized KV cache (per-head power-of-2 scales,
     ops/attend_reorder.py::_attn_math_q8 in interpret mode) must stay
     within quantization tolerance of the exact XLA path: scores close in
-    relative terms and the top-1 beam identical."""
+    relative terms and the top-1 beam identical. Covers both the in-kernel
+    quantize mode and the XLA pre-quantize mode (kvg_quant_xla)."""
     from ripor_tpu.decode.beam import make_beam_search_fn
     from ripor_tpu.trie.succinct import succinct_tables
 
@@ -225,12 +379,17 @@ def test_deferred_int8_cache_close_to_xla_path():
                                  use_pallas_gather=False, deferred=False)
     q8_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
                                 use_pallas_gather=False, deferred=True,
-                                cache_segments=3, kv_cache_int8=True)
+                                cache_segments=3, kv_cache_int8=True,
+                                kvg_quant_xla=kvg_xla)
     s0, c0, st0 = ref_fn(params, ids, mask, tables)
     s1, c1, st1 = q8_fn(params, ids, mask, tables)
     s0, s1 = np.asarray(s0), np.asarray(s1)
     live = s0 > -1e29
-    np.testing.assert_allclose(s1[live], s0[live], rtol=0.05, atol=0.05)
+    # Both modes write IDENTICAL int8 rows into the cache; kvg_quant_xla
+    # additionally reads slot t-1 quantized at step t (in-kernel mode reads
+    # it exact while in flight), so its tolerance is slightly wider.
+    atol = 0.25 if kvg_xla else 0.05
+    np.testing.assert_allclose(s1[live], s0[live], rtol=0.05, atol=atol)
     np.testing.assert_array_equal(np.asarray(c0)[:, 0], np.asarray(c1)[:, 0])
 
 

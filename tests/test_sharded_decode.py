@@ -55,3 +55,62 @@ def test_sharded_beam_search_int8_cache(mesh8):
     np.testing.assert_allclose(np.asarray(s_q8)[live], np.asarray(s_1)[live],
                                rtol=0.05, atol=0.05)
     np.testing.assert_array_equal(np.asarray(c_q8)[:, 0], np.asarray(c_1)[:, 0])
+
+
+def test_tp_beam_search_parity(mesh8):
+    """Tensor-parallel decode (heads + d_ff + KV cache sharded over the
+    2-way 'model' axis, queries over 'data') must equal single-device
+    decode on the SAME unsharded params — the t5-large path (VERDICT r1
+    #6; reference sidesteps this with 4x A100-80GB)."""
+    from ripor_tpu.decode.beam import make_tp_beam_search_fn
+
+    cfg = ripor_small(M=4, K=8)
+    model = RiporModel(cfg)
+    assert cfg.t5.num_heads % 2 == 0 and cfg.t5.d_ff % 2 == 0
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(1, 100, (8, 6)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids, mask,
+                        jnp.zeros((8, 4), jnp.int32))["params"]
+    trie = build_trie(rng.integers(0, 8, (60, 4)), 8)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+
+    run_tp = make_tp_beam_search_fn(cfg, 5, mesh8, dtype=jnp.float32,
+                                    use_pallas_gather=False)
+    run_1 = make_beam_search_fn(cfg, 5, dtype=jnp.float32,
+                                use_pallas_gather=False)
+    s_tp, c_tp, st_tp = run_tp(params, ids, mask, tables)
+    s_1, c_1, st_1 = run_1(params, ids, mask, tables)
+    np.testing.assert_allclose(np.asarray(s_tp), np.asarray(s_1),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(c_tp), np.asarray(c_1))
+    np.testing.assert_array_equal(np.asarray(st_tp), np.asarray(st_1))
+
+
+def test_tp_beam_search_int8_deferred(mesh8):
+    """TP decode composes with the deferred int8 KV cache (per-device
+    head-sharded rows keep the pallas layout; quantization groups are
+    per-head so the shard is self-contained)."""
+    from ripor_tpu.decode.beam import make_tp_beam_search_fn
+
+    cfg = ripor_small(M=4, K=8)
+    model = RiporModel(cfg)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(1, 100, (8, 6)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init({"params": jax.random.PRNGKey(0)}, ids, mask,
+                        jnp.zeros((8, 4), jnp.int32))["params"]
+    trie = build_trie(rng.integers(0, 8, (60, 4)), 8)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+
+    run_tp = make_tp_beam_search_fn(cfg, 5, mesh8, dtype=jnp.float32,
+                                    use_pallas_gather=False, deferred=True,
+                                    kv_cache_int8=True, cache_segments=2)
+    run_1 = make_beam_search_fn(cfg, 5, dtype=jnp.float32,
+                                use_pallas_gather=False)
+    s_tp, c_tp, _ = run_tp(params, ids, mask, tables)
+    s_1, c_1, _ = run_1(params, ids, mask, tables)
+    live = np.asarray(s_1) > -1e29
+    np.testing.assert_allclose(np.asarray(s_tp)[live], np.asarray(s_1)[live],
+                               rtol=0.05, atol=0.25)
+    np.testing.assert_array_equal(np.asarray(c_tp)[:, 0], np.asarray(c_1)[:, 0])

@@ -1,0 +1,84 @@
+"""Decode HBM fit check across backbone x quant mode x TP degree.
+
+Answers VERDICT r1 #6's fit question concretely: which (model, batch,
+beam, cache mode, model-parallel degree) combinations fit a 16 GB v5e
+chip? The reference sidesteps this with 4x A100-80GB DDP inference
+(reference README.md:23); here the KV cache dominates and tensor
+parallelism (decode/beam.py::make_tp_beam_search_fn) divides it by the
+'model' axis size along heads.
+
+Accounting per chip:
+  * params: bf16 bytes / tp (attention+FFN shard; embeddings replicate)
+  * KV cache: TWO ping-pong buffers [L, B, Npad, Mc, RW/tp]
+  * cross-attn KV + encoder activations: 2 * L * B*N_q? — negligible at
+    seq 64 (reported separately)
+  * trie tables: measured 0.6 GB at 8.8M docs (tools/bench_trie_scale.py)
+
+Usage: python tools/decode_fit.py [--beam 1000] [--docs-tables-mb 600]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+HBM = 16e9
+SCALE_COLS = 128
+
+
+def cache_bytes(t5, batch, beam_pad, mc, quant, tp):
+    F = t5.num_heads * t5.d_kv // tp
+    rw = {None: 2 * F * 2, "int8": 2 * F + SCALE_COLS,
+          "int4": F + SCALE_COLS}[quant]           # bytes per row element row
+    return 2 * t5.num_decoder_layers * batch * beam_pad * mc * rw
+
+
+def param_bytes(t5, M, K, tp):
+    # rough bf16 param count: embeddings replicate, blocks shard by tp
+    d, ff, L = t5.d_model, t5.d_ff, t5.num_layers + t5.num_decoder_layers
+    inner = t5.num_heads * t5.d_kv
+    block = (4 * d * inner + 2 * d * ff) / tp + 2 * d
+    emb = t5.vocab_size * d + M * K * d
+    return 2 * (emb + L * block)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--beam", type=int, default=1000)
+    ap.add_argument("--mc", type=int, default=40)
+    ap.add_argument("--docs-tables-mb", type=float, default=600.0,
+                    help="succinct trie tables (8.8M docs measured value)")
+    args = ap.parse_args()
+
+    from ripor_tpu.models.config import t5_3b, t5_base, t5_large
+    beam_pad = -(-args.beam // 8) * 8
+    tables = args.docs_tables_mb * 1e6
+    print(f"beam {args.beam} (pad {beam_pad}), Mc {args.mc}, trie tables "
+          f"{tables/1e9:.2f} GB, HBM {HBM/1e9:.0f} GB/chip\n")
+    print(f"{'model':8} {'quant':5} {'tp':>2} {'batch':>5} {'params':>7} "
+          f"{'cache':>7} {'total':>7}  fits")
+    for name, mk in (("t5-base", t5_base), ("t5-large", t5_large),
+                     ("t5-3b", t5_3b)):
+        t5 = mk()
+        for quant in (None, "int8", "int4"):
+            for tp in (1, 2, 4):
+                # find max batch that fits
+                best = 0
+                for b in (1, 2, 4, 8, 16, 32):
+                    pb = param_bytes(t5, 32, 256, tp)
+                    cb = cache_bytes(t5, b, beam_pad, args.mc, quant, tp)
+                    tot = pb + cb + tables + 0.5e9   # 0.5 GB workspace
+                    if tot < HBM:
+                        best, bpb, bcb, btot = b, pb, cb, tot
+                if best:
+                    print(f"{name:8} {quant or 'bf16':5} {tp:>2} {best:>5} "
+                          f"{bpb/1e9:>6.1f}G {bcb/1e9:>6.1f}G "
+                          f"{btot/1e9:>6.1f}G  yes")
+                else:
+                    print(f"{name:8} {quant or 'bf16':5} {tp:>2} {'-':>5} "
+                          f"{'':>7} {'':>7} {'':>7}  NO (b1 overflows)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,10 +1,11 @@
-"""Validate int8 KV-cache retrieval quality on the real chip: overfit the
-e2e slice (500 docs), then retrieve with the exact bf16 deferred path vs
-the int8 cache and compare runs/metrics.
+"""Validate quantized-KV-cache retrieval quality on the real chip: overfit
+the e2e slice (500 docs), then retrieve with the exact bf16 deferred path
+vs the int8 AND packed-int4 caches and compare runs/metrics.
 
-Measured 2026-08-17 (v5e-1): 48/48 queries identical doc sets AND
+Measured 2026-08-17 (v5e-1), int8: 48/48 queries identical doc sets AND
 identical ranking order, score deltas < 1e-4 -- the quantized cache is
-retrieval-transparent on a trained model.
+retrieval-transparent on a trained model. (int4 results: see stdout of a
+run; gate int4 adoption on the same identical-ranking bar.)
 
 Usage: python tools/validate_int8_e2e.py [workdir]"""
 import json
@@ -68,8 +69,21 @@ queries = Collection(queries_dir)
 from ripor_tpu.data import load_docid_to_smtid
 docids, codes = load_docid_to_smtid(str(ws.path("docid_to_smtid.json")))
 trie = stage_build_trie(ws, codes, cfg.K)
-run8 = stage_retrieve(ws, cfg, params, tok, queries, trie, docids,
-                      num_beams=10, topk=20, run_name="run_int8.json",
-                      kv_cache_int8=True)
-m8 = stage_evaluate(ws, run8, load_qrel(qrel_path), perf_name="perf_int8.json")
-print("int8-path  metrics:", m8, flush=True)
+exact_run = json.load(open(ws.path("run.json")))
+for quant in ("int8", "int4"):
+    runq = stage_retrieve(ws, cfg, params, tok, queries, trie, docids,
+                          num_beams=10, topk=20,
+                          run_name=f"run_{quant}.json", kv_cache_quant=quant)
+    mq = stage_evaluate(ws, runq, load_qrel(qrel_path),
+                        perf_name=f"perf_{quant}.json")
+    print(f"{quant}-path metrics:", mq, flush=True)
+    same_set = same_order = 0
+    for qid, docs in exact_run.items():
+        dq = runq.get(qid, {})
+        if set(dq) == set(docs):
+            same_set += 1
+            rank = sorted(docs, key=docs.get, reverse=True)
+            rankq = sorted(dq, key=dq.get, reverse=True)
+            same_order += rank == rankq
+    print(f"{quant}: {same_set}/{len(exact_run)} identical doc sets, "
+          f"{same_order} identical orderings", flush=True)
