@@ -271,6 +271,121 @@ def cmd_rerank(args):
     print(f"wrote {args.out} ({len(scored)} queries)")
 
 
+def _d2s_map(path):
+    """docid_to_smtid.json -> {docid: code list} (sentinel already stripped
+    by load_docid_to_smtid)."""
+    from ripor_tpu.data import load_docid_to_smtid
+    docids, codes = load_docid_to_smtid(path)
+    return dict(zip(docids, [list(map(int, c)) for c in codes]))
+
+
+def cmd_rerank_task(args):
+    """One sharded scoring pass of a reference rerank.py task (writes the
+    per-rank JSON shard; run ``rerank-task-merge`` after all ranks finish).
+    Task names match /root/reference/t5_pretrainer/rerank.py:655-691."""
+    from ripor_tpu.data import Collection, UnigramTokenizer, load_qrel
+    from ripor_tpu.evaluation import rerank_tasks as rt
+    from ripor_tpu.evaluation.reranker import load_bert_teacher
+
+    tok = UnigramTokenizer.load(args.tokenizer)
+    queries = Collection(args.queries) if args.queries else None
+    docs = Collection(args.docs) if args.docs else None
+    kw = dict(rank=args.rank, nranks=args.nranks,
+              batch_size=args.batch_size, max_length=args.max_length)
+
+    def teacher():
+        return load_bert_teacher(args.ce_checkpoint, tok.vocab_size)
+
+    t = args.task
+    if t == "rerank_for_create_trainset":
+        with open(args.run) as f:
+            run = json.load(f)
+        out = rt.rerank_for_create_trainset(teacher(), tok, queries, docs,
+                                            run, args.out_dir, **kw)
+    elif t == "assign_scores_for_pseudo_queries":
+        with open(args.input_json) as f:
+            docid_pseudo_qids = json.load(f)
+        out = rt.assign_scores_for_pseudo_queries(
+            teacher(), tok, queries, docs, docid_pseudo_qids,
+            args.out_dir, **kw)
+    elif t == "query_to_docid_rerank_for_qid_smtids":
+        _, cfg, _, params = _load_workspace_model(args.workspace, args.phase)
+        with open(args.input_json) as f:
+            qid_docids = json.load(f)
+        out = rt.query_to_docid_rerank_for_qid_smtids(
+            cfg, params, tok, queries, qid_docids,
+            _d2s_map(args.docid_to_smtid), args.out_dir, **kw)
+    elif t == "teacher_rerank_for_qid_smtids":
+        with open(args.input_json) as f:
+            qid_smtid_rank = json.load(f)
+        out = rt.teacher_rerank_for_qid_smtids(
+            teacher(), tok, queries, docs, qid_smtid_rank,
+            _d2s_map(args.docid_to_smtid), args.out_dir, **kw)
+    elif t == "cross_encoder_rerank_for_same_prefix_docid":
+        out = rt.cross_encoder_rerank_for_same_prefix_docid(
+            teacher(), tok, queries, docs, _d2s_map(args.docid_to_smtid),
+            load_qrel(args.qrel), args.out_dir,
+            neg_sample=args.neg_sample, **kw)
+    elif t == "cross_encoder_rerank_for_same_reldocid_hard_docids":
+        with open(args.input_json) as f:
+            pools = json.load(f)
+        out = rt.cross_encoder_rerank_for_same_reldocid_hard_docids(
+            teacher(), tok, queries, docs, pools, args.out_dir, **kw)
+    elif t == "cross_encoder_rerank_for_qid_smtid_docids":
+        out = rt.cross_encoder_rerank_for_qid_smtid_docids(
+            teacher(), tok, queries, docs, args.input_json, **kw)
+    else:
+        raise SystemExit(f"unknown task {t}")
+    print(f"wrote {out}")
+
+
+def cmd_rerank_task_merge(args):
+    """Merge a task's per-rank shards into its final artifact (the
+    reference's *_2 tasks, rerank.py:67-654)."""
+    from ripor_tpu.data import load_qrel
+    from ripor_tpu.evaluation import rerank_tasks as rt
+
+    t = args.task
+    if t == "rerank_for_create_trainset":
+        out = rt.rerank_for_create_trainset_merge(args.out_dir,
+                                                  topk=args.topk)
+    elif t == "rerank_for_evaluate":
+        out = rt.rerank_for_evaluate_merge(args.out_dir)
+    elif t == "assign_scores_for_pseudo_queries":
+        out = rt.assign_scores_for_pseudo_queries_merge(args.out_dir)
+    elif t == "query_to_docid_rerank_for_qid_smtids":
+        qrel = load_qrel(args.qrel) if args.qrel else None
+        out, metrics = rt.query_to_docid_rerank_for_qid_smtids_merge(
+            args.out_dir, _d2s_map(args.docid_to_smtid), qrel)
+        if metrics:
+            print(json.dumps(metrics, indent=2))
+    elif t == "teacher_rerank_for_qid_smtids":
+        out = rt.teacher_rerank_for_qid_smtids_merge(args.out_dir)
+    elif t == "cross_encoder_rerank_for_same_prefix_docid":
+        out, _ = rt.cross_encoder_rerank_for_same_prefix_docid_merge(
+            args.out_dir)
+    elif t == "cross_encoder_rerank_for_same_reldocid_hard_docids":
+        out = rt.cross_encoder_rerank_for_same_reldocid_hard_docids_merge(
+            args.out_dir)
+    elif t == "cross_encoder_rerank_for_qid_smtid_docids":
+        out = rt.cross_encoder_rerank_for_qid_smtid_docids_merge(
+            args.out_dir)
+    else:
+        raise SystemExit(f"unknown task {t}")
+    print(f"wrote {out}")
+
+
+RERANK_TASKS = [
+    "rerank_for_create_trainset",
+    "assign_scores_for_pseudo_queries",
+    "query_to_docid_rerank_for_qid_smtids",
+    "teacher_rerank_for_qid_smtids",
+    "cross_encoder_rerank_for_same_prefix_docid",
+    "cross_encoder_rerank_for_same_reldocid_hard_docids",
+    "cross_encoder_rerank_for_qid_smtid_docids",
+]
+
+
 def cmd_full_recipe(args):
     """Phases 1-3 end-to-end (reference full_scripts/full_lng_knp_train_
     pipline.sh chain) with per-phase metrics printed."""
@@ -462,6 +577,39 @@ def main(argv=None):
     prr.add_argument("--max-length", type=int, default=256)
     prr.add_argument("--out", default="teacher_trainset.jsonl")
     prr.set_defaults(fn=cmd_rerank)
+
+    prt = sub.add_parser("rerank-task",
+                         help="one reference rerank.py task (sharded pass)")
+    prt.add_argument("--task", required=True, choices=RERANK_TASKS)
+    prt.add_argument("--out-dir", required=True)
+    prt.add_argument("--tokenizer", required=True)
+    prt.add_argument("--queries")
+    prt.add_argument("--docs")
+    prt.add_argument("--ce-checkpoint")
+    prt.add_argument("--run")
+    prt.add_argument("--input-json",
+                     help="task-specific input (qid_docids / pseudo qids / "
+                          "qid_smtid_rank / hard pools / qid_smtid_docids)")
+    prt.add_argument("--docid-to-smtid")
+    prt.add_argument("--qrel")
+    prt.add_argument("--workspace")
+    prt.add_argument("--phase", default="final")
+    prt.add_argument("--neg-sample", type=int, default=50)
+    prt.add_argument("--rank", type=int, default=0)
+    prt.add_argument("--nranks", type=int, default=1)
+    prt.add_argument("--batch-size", type=int, default=64)
+    prt.add_argument("--max-length", type=int, default=256)
+    prt.set_defaults(fn=cmd_rerank_task)
+
+    prtm = sub.add_parser("rerank-task-merge",
+                          help="merge a task's rank shards (the ref's *_2)")
+    prtm.add_argument("--task", required=True,
+                      choices=RERANK_TASKS + ["rerank_for_evaluate"])
+    prtm.add_argument("--out-dir", required=True)
+    prtm.add_argument("--topk", type=int, default=200)
+    prtm.add_argument("--docid-to-smtid")
+    prtm.add_argument("--qrel")
+    prtm.set_defaults(fn=cmd_rerank_task_merge)
 
     pt = sub.add_parser("train", help="train one phase from a JSON config")
     pt.add_argument("--config", required=True)

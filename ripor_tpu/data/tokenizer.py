@@ -58,6 +58,11 @@ class UnigramTokenizer(TextTokenizer):
 
     @staticmethod
     def train(corpus: Iterable[str], vocab_size: int = 32000) -> "UnigramTokenizer":
+        """NOTE: the Rust Unigram trainer is nondeterministic run-to-run
+        (internal hash-map ordering; no seed knob, independent of
+        RAYON_NUM_THREADS) — persist the trained tokenizer.json and reload
+        it for reproducible pipelines (stage_tokenizer does this); tests
+        must not gate on exact-rank metrics across fresh trainings."""
         from tokenizers import Tokenizer, models, normalizers, pre_tokenizers, trainers
         tok = Tokenizer(models.Unigram())
         tok.normalizer = normalizers.NFKC()

@@ -131,8 +131,24 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard every batch array along its leading (batch) dim."""
+    """Shard every batch array along its leading (batch) dim.
+
+    Multi-host semantics (the reference's DistributedSampler contract,
+    t5_pretrainer/main.py:116-124): when ``jax.process_count() > 1`` each
+    process feeds its LOCAL slice of the global batch (e.g. via
+    ``emb_store.host_shard_slice``) and the slices are assembled into one
+    global array with ``make_array_from_process_local_data`` — no host ever
+    materialises the full batch. Single-process runs device_put the whole
+    batch onto the mesh as before."""
+    import numpy as np
+
+    multihost = jax.process_count() > 1
+
     def put(x):
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multihost:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
     return jax.tree.map(put, batch)
