@@ -505,7 +505,7 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
                                 kv_cache_quant=kv_cache_quant)
 
     @jax.jit
-    def run(params, input_ids, attention_mask, tables):
+    def _run(params, input_ids, attention_mask, tables):
         return shard_map(
             lambda p, i, m, tb: inner(p, i, m, tb),
             mesh=mesh,
@@ -514,7 +514,40 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
             check_vma=False,
         )(params, input_ids, attention_mask, tables)
 
+    ndata = mesh.shape[DATA_AXIS]
+
+    def run(params, input_ids, attention_mask, tables):
+        if input_ids.shape[0] % ndata != 0:
+            raise ValueError(
+                f"query batch {input_ids.shape[0]} must divide the 'data' "
+                f"axis ({ndata}); pad ragged batches with "
+                f"pad_batch_to_data_axis() and drop the padded results")
+        return _run(params, input_ids, attention_mask, tables)
+
     return run
+
+
+def pad_batch_to_data_axis(input_ids, attention_mask, mesh):
+    """Pad a ragged query batch up to a multiple of the mesh 'data' axis by
+    repeating the final query row (repeats keep every shard's compute
+    well-formed — a zero-mask dummy would attend over nothing). Returns
+    ``(input_ids, attention_mask, n_valid)``; callers slice every output's
+    leading axis to ``n_valid`` (the reference pads the same way via its
+    DistributedSampler's wrap-around, evaluate.py:468)."""
+    import numpy as _np
+
+    from ripor_tpu.core.mesh import DATA_AXIS as _DA
+
+    n = input_ids.shape[0]
+    ndata = mesh.shape[_DA]
+    pad = (-n) % ndata
+    if pad:
+        input_ids = _np.concatenate(
+            [input_ids, _np.repeat(input_ids[-1:], pad, axis=0)], axis=0)
+        attention_mask = _np.concatenate(
+            [attention_mask, _np.repeat(attention_mask[-1:], pad, axis=0)],
+            axis=0)
+    return input_ids, attention_mask, n
 
 
 def make_tp_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
