@@ -49,21 +49,34 @@ def _topk_block(queries, docs, k, approx: bool = False):
     return gs, jnp.take_along_axis(cand_i, gsel, axis=1)
 
 
+def device_corpus(docs: np.ndarray, dtype=jnp.bfloat16) -> jax.Array:
+    """Upload a corpus once for serving, optionally down-cast to bf16:
+    the reference's 8.8M x 768 fp32 store is 27 GB (tasks/evaluator.py:45,
+    408) — too big for one chip's 16 GB HBM — but bf16 is 13.5 GB and FITS,
+    making single-chip 8.8M-doc exact MIPS possible. Scores still
+    accumulate in f32 on the MXU (preferred_element_type); only embedding
+    rounding changes, so ranking deltas are confined to near-exact ties."""
+    return jnp.asarray(np.asarray(docs), dtype)
+
+
 def dense_topk(queries: np.ndarray, docs: np.ndarray, k: int,
                mesh: Optional[Mesh] = None,
                block_docs: int = 1_000_000) -> Tuple[np.ndarray, np.ndarray]:
     """Brute-force IP top-k. Single-device path streams doc blocks and
-    merges on host; mesh path shards docs over 'data' inside one jit."""
-    queries = jnp.asarray(queries, jnp.float32)
+    merges on host; mesh path shards docs over 'data' inside one jit.
+    Pass ``docs`` as a :func:`device_corpus` bf16 array for the
+    single-chip large-corpus serving case."""
     n = docs.shape[0]
     k = min(k, n)
+    on_device = isinstance(docs, jax.Array)
+    qdtype = docs.dtype if on_device else jnp.float32
+    queries = jnp.asarray(queries, qdtype)
 
     if mesh is not None and n % mesh.shape[DATA_AXIS] == 0:
         return _dense_topk_mesh(queries, docs, k, mesh)
 
     best_s = np.full((queries.shape[0], k), -np.inf, np.float32)
     best_i = np.zeros((queries.shape[0], k), np.int64)
-    on_device = isinstance(docs, jax.Array)
     for s in range(0, n, block_docs):
         # device-resident corpora (the serving case) slice in place; host
         # arrays upload block by block
@@ -87,9 +100,9 @@ def _dense_topk_mesh(queries, docs, k, mesh: Mesh):
     merge — XLA turns the final top_k over gathered candidates into an
     all-gather over ICI of only [Q, shards*k] candidates, never [Q, N]."""
     n = docs.shape[0]
-    docs = jax.device_put(
-        jnp.asarray(docs, jnp.float32),
-        NamedSharding(mesh, P(DATA_AXIS, None)))
+    dt = docs.dtype if isinstance(docs, jax.Array) else jnp.float32
+    docs = jax.device_put(jnp.asarray(docs, dt),
+                          NamedSharding(mesh, P(DATA_AXIS, None)))
     queries = jax.device_put(queries, NamedSharding(mesh, P()))
     nshards = mesh.shape[DATA_AXIS]
     shard_size = n // nshards

@@ -223,3 +223,26 @@ def test_rerank_cond_prefix(tmp_path, np_rng):
                         jnp.asarray(d_mask), method=RiporModel.dense_rep)
     manual = float(jnp.sum(q_rep * d_rep))
     assert abs(out["q1"]["d1"] - manual) < 1e-3
+
+
+def test_dense_topk_bf16_device_corpus(mesh8):
+    """bf16 device-resident corpus (the single-chip 8.8M serving case,
+    evaluation/retriever.py::device_corpus): rankings match the f32 exact
+    path on well-separated scores, for both the streamed and mesh paths."""
+    import jax.numpy as jnp
+
+    from ripor_tpu.evaluation.retriever import device_corpus
+
+    rng = np.random.default_rng(11)
+    d = rng.standard_normal((64, 16)).astype(np.float32)
+    d[:, 0] += np.arange(64) * 0.5          # separate the score scale
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    q[:, 0] += 4.0
+
+    s32, i32 = dense_topk(q, d, k=5)
+    dbf = device_corpus(d, jnp.bfloat16)
+    s16, i16 = dense_topk(q, dbf, k=5)
+    np.testing.assert_array_equal(i16, i32)
+    np.testing.assert_allclose(s16, s32, rtol=2e-2)
+    sm, im = dense_topk(q, dbf, k=5, mesh=mesh8)
+    np.testing.assert_array_equal(im, i32)

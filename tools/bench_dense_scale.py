@@ -1,0 +1,83 @@
+"""Single-chip dense MIPS at reference corpus scale (8.8M x 768).
+
+The reference's dense path cannot run on one GPU: its store is fp32
+(27 GB, tasks/evaluator.py:45,408) and faiss shards the flat index over
+8 GPUs (tasks/evaluator.py:784-812). A bf16 device corpus is 13.5 GB and
+fits ONE v5e chip (evaluation/retriever.py::device_corpus); this measures
+exact (tiled two-level top-k) query throughput against it.
+
+The corpus is synthesized directly in HBM (chunked RNG + donated
+dynamic_update_slice) because this image's host->device relay moves
+~10-25 MB/s — a 13.5 GB upload would measure the relay, not the design.
+Real TPU VMs load a corpus of this size from disk in seconds.
+
+Env: DENSE_DOCS (8_800_000), DENSE_D (768), DENSE_Q (256), DENSE_K (100).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp
+import numpy as np
+
+from ripor_tpu.evaluation.retriever import dense_topk
+
+n_docs = int(os.environ.get("DENSE_DOCS", 8_800_000))
+d = int(os.environ.get("DENSE_D", 768))
+n_q = int(os.environ.get("DENSE_Q", 256))
+k = int(os.environ.get("DENSE_K", 100))
+
+CHUNK = int(os.environ.get("DENSE_CHUNK", 1 << 20))  # rows per RNG fill
+
+
+def _fill(buf, key, start):
+    blk = jax.random.normal(key, (CHUNK, d), jnp.bfloat16)
+    return jax.lax.dynamic_update_slice(buf, blk, (start, 0))
+
+
+_fill_d = jax.jit(_fill, donate_argnums=(0,))
+
+t0 = time.time()
+pad_docs = ((n_docs + CHUNK - 1) // CHUNK) * CHUNK
+corpus = jnp.zeros((pad_docs, d), jnp.bfloat16)
+key = jax.random.PRNGKey(0)
+for i in range(pad_docs // CHUNK):
+    key, sub = jax.random.split(key)
+    corpus = _fill_d(corpus, sub, i * CHUNK)
+corpus = corpus[:n_docs]
+np.asarray(corpus[0, :1])  # fence
+gb = n_docs * d * 2 / 1e9
+print(f"# corpus synthesized on-device {time.time()-t0:.1f}s "
+      f"({gb:.1f} GB bf16)", file=sys.stderr)
+
+rng = np.random.default_rng(0)
+queries = rng.standard_normal((n_q, d)).astype(np.float32)
+
+t0 = time.time()
+s, i = dense_topk(queries, corpus, k, block_docs=CHUNK)
+print(f"# compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
+
+times = []
+for _ in range(3):
+    t0 = time.time()
+    s, i = dense_topk(queries, corpus, k, block_docs=CHUNK)
+    times.append(time.time() - t0)
+per = min(times)
+qps = n_q / per
+bw = gb / per
+print(f"# steady-state {per*1000:.1f} ms / {n_q} queries "
+      f"({bw:.0f} GB/s corpus scan)", file=sys.stderr)
+print(json.dumps({
+    "metric": "dense_mips_queries_per_sec",
+    "value": round(qps, 1),
+    "unit": f"qps@top{k}_{n_docs}docs_d{d}_bf16_1chip_exact",
+    "vs_baseline": None,
+}))
