@@ -95,11 +95,14 @@ def main():
             jax.lax.top_k = topk
         jax.clear_caches()  # step_attention_fused is @jit: force a retrace
         try:
+            quant = os.environ.get(
+                "BENCH_ABLATE_QUANT",
+                "int8" if os.environ.get("BENCH_ABLATE_INT8") == "1"
+                else "")
             fn = beam_mod.make_beam_search_fn(
                 cfg, num_beams, constrained=constrained,
                 dtype=jnp.bfloat16, cache_segments=segments,
-                deferred=deferred,
-                kv_cache_int8=os.environ.get("BENCH_ABLATE_INT8") == "1")
+                deferred=deferred, kv_cache_quant=quant or None)
             t0 = time.time()
             s, c, st = fn(params, ids, mask, tables)
             np.asarray(s)
