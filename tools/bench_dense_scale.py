@@ -46,13 +46,16 @@ def _fill(buf, key, start):
 _fill_d = jax.jit(_fill, donate_argnums=(0,))
 
 t0 = time.time()
-pad_docs = ((n_docs + CHUNK - 1) // CHUNK) * CHUNK
-corpus = jnp.zeros((pad_docs, d), jnp.bfloat16)
+# exact-size buffer; the tail fill overlaps the previous chunk (same chunk
+# shape -> one compiled fill; a pad-then-slice would COPY the 14 GB buffer)
+corpus = jnp.zeros((n_docs, d), jnp.bfloat16)
 key = jax.random.PRNGKey(0)
-for i in range(pad_docs // CHUNK):
+starts = list(range(0, n_docs - CHUNK + 1, CHUNK))
+if starts[-1] + CHUNK < n_docs:
+    starts.append(n_docs - CHUNK)
+for s0 in starts:
     key, sub = jax.random.split(key)
-    corpus = _fill_d(corpus, sub, i * CHUNK)
-corpus = corpus[:n_docs]
+    corpus = _fill_d(corpus, sub, s0)
 np.asarray(corpus[0, :1])  # fence
 gb = n_docs * d * 2 / 1e9
 print(f"# corpus synthesized on-device {time.time()-t0:.1f}s "
