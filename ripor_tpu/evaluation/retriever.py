@@ -49,6 +49,53 @@ def _topk_block(queries, docs, k, approx: bool = False):
     return gs, jnp.take_along_axis(cand_i, gsel, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "block", "nblocks"))
+def _topk_scan_device(queries, docs, k, block, nblocks):
+    """Streaming top-k over a DEVICE-RESIDENT corpus, all inside one jit:
+    lax.scan over ``nblocks`` dynamic_slice blocks with a running-top-k
+    carry. This is the large-corpus serving path — the host-merge loop in
+    :func:`dense_topk` would slice a materialized block copy per step
+    *outside* jit (at 8.8M x 768 bf16 that is corpus 13.5 GB + 1.6 GB block
+    + 1 GB f32 scores > v5e HBM) and fence through the host every block.
+    Here the block transient is bounded by ``block`` and the only host
+    transfer is the final [Q, k]. The tail block clamps its start to
+    ``n - block`` (one compiled shape) and masks the re-scored overlap rows
+    to -inf so every doc is counted exactly once — exact, like the
+    two-level tiled top-k it feeds."""
+    n, d = docs.shape
+    neg = jnp.float32(-jnp.inf)
+
+    def body(carry, b):
+        best_s, best_i = carry
+        start = jnp.minimum(b * block, n - block)
+        blk = jax.lax.dynamic_slice(docs, (start, 0), (block, d))
+        s = jnp.einsum("qd,nd->qn", queries, blk,
+                       preferred_element_type=jnp.float32)
+        gidx = start + jnp.arange(block, dtype=jnp.int32)
+        s = jnp.where(gidx[None, :] >= b * block, s, neg)
+        TILE = 2048
+        if block % TILE == 0 and block > 2 * TILE and k <= TILE:
+            nt = block // TILE
+            Q = s.shape[0]
+            ts, ti = jax.lax.top_k(s.reshape(Q * nt, TILE), k)
+            base = (jnp.arange(nt, dtype=jnp.int32) * TILE)[None, :, None]
+            bs = ts.reshape(Q, nt * k)
+            bi = (ti.reshape(Q, nt, k) + base).reshape(Q, nt * k)
+        else:
+            bs, bi = jax.lax.top_k(s, min(k, block))
+        all_s = jnp.concatenate([best_s, bs], axis=1)
+        all_i = jnp.concatenate([best_i, bi + start], axis=1)
+        gs, gsel = jax.lax.top_k(all_s, k)
+        gi = jnp.take_along_axis(all_i, gsel, axis=1)
+        return (gs, gi), None
+
+    q = queries.shape[0]
+    init = (jnp.full((q, k), neg, jnp.float32),
+            jnp.zeros((q, k), jnp.int32))
+    (gs, gi), _ = jax.lax.scan(body, init, jnp.arange(nblocks, dtype=jnp.int32))
+    return gs, gi
+
+
 def device_corpus(docs: np.ndarray, dtype=jnp.bfloat16) -> jax.Array:
     """Upload a corpus once for serving, optionally down-cast to bf16:
     the reference's 8.8M x 768 fp32 store is 27 GB (tasks/evaluator.py:45,
@@ -75,15 +122,18 @@ def dense_topk(queries: np.ndarray, docs: np.ndarray, k: int,
     if mesh is not None and n % mesh.shape[DATA_AXIS] == 0:
         return _dense_topk_mesh(queries, docs, k, mesh)
 
+    if on_device:
+        # serving path: scan the corpus in place — the host-merge loop
+        # below would materialize a full block copy per step outside jit
+        block = min(block_docs, n)
+        nblocks = -(-n // block)
+        gs, gi = _topk_scan_device(queries, docs, k, block, nblocks)
+        return np.asarray(gs), np.asarray(gi).astype(np.int64)
+
     best_s = np.full((queries.shape[0], k), -np.inf, np.float32)
     best_i = np.zeros((queries.shape[0], k), np.int64)
     for s in range(0, n, block_docs):
-        # device-resident corpora (the serving case) slice in place; host
-        # arrays upload block by block
-        if on_device:
-            blk = docs[s:s + block_docs]
-        else:
-            blk = jnp.asarray(np.asarray(docs[s:s + block_docs], np.float32))
+        blk = jnp.asarray(np.asarray(docs[s:s + block_docs], np.float32))
         kk = min(k, blk.shape[0])
         bs, bi = _topk_block(queries, blk, kk)
         bs, bi = np.asarray(bs), np.asarray(bi) + s

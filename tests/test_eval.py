@@ -246,3 +246,21 @@ def test_dense_topk_bf16_device_corpus(mesh8):
     np.testing.assert_allclose(s16, s32, rtol=2e-2)
     sm, im = dense_topk(q, dbf, k=5, mesh=mesh8)
     np.testing.assert_array_equal(im, i32)
+
+
+def test_dense_topk_device_scan_tail_overlap():
+    """Device-resident corpora stream through _topk_scan_device; a corpus
+    size not divisible by the block clamps the tail block's start and masks
+    the re-scored overlap rows — every doc counted exactly once."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(12)
+    d = rng.standard_normal((53, 8)).astype(np.float32)  # 53 % 16 != 0
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    s, i = dense_topk(q, jnp.asarray(d), k=5, block_docs=16)
+    brute = q @ d.T
+    want_i = np.argsort(-brute, axis=1)[:, :5]
+    np.testing.assert_array_equal(i, want_i)
+    # no doc may appear twice in any row (overlap dedup)
+    for row in i:
+        assert len(set(row.tolist())) == 5

@@ -36,6 +36,9 @@ n_q = int(os.environ.get("DENSE_Q", 256))
 k = int(os.environ.get("DENSE_K", 100))
 
 CHUNK = int(os.environ.get("DENSE_CHUNK", 1 << 20))  # rows per RNG fill
+# rows per top-k scan block: bounds the in-jit transient (block copy +
+# f32 scores) so corpus 13.5 GB + transients stay under 16 GB HBM
+BLOCK = int(os.environ.get("DENSE_BLOCK", 1 << 19))
 
 
 def _fill(buf, key, start):
@@ -65,13 +68,13 @@ rng = np.random.default_rng(0)
 queries = rng.standard_normal((n_q, d)).astype(np.float32)
 
 t0 = time.time()
-s, i = dense_topk(queries, corpus, k, block_docs=CHUNK)
+s, i = dense_topk(queries, corpus, k, block_docs=BLOCK)
 print(f"# compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
 
 times = []
 for _ in range(3):
     t0 = time.time()
-    s, i = dense_topk(queries, corpus, k, block_docs=CHUNK)
+    s, i = dense_topk(queries, corpus, k, block_docs=BLOCK)
     times.append(time.time() - t0)
 per = min(times)
 qps = n_q / per
