@@ -62,7 +62,14 @@ def main():
 
     M = int(os.environ.get("BENCH_M", 32))      # 16x1024 variant: BENCH_M=16
     K = int(os.environ.get("BENCH_K", 256))     #                  BENCH_K=1024
-    cfg = ripor_base(M=M, K=K)
+    # backbone: t5-small|t5-base|t5-large|t5-3b (config #5 fit checks —
+    # see tools/decode_fit.py for the HBM accounting per combination)
+    backbone = os.environ.get("BENCH_MODEL", "t5-base")
+    if backbone == "t5-base":
+        cfg = ripor_base(M=M, K=K)
+    else:
+        from ripor_tpu.models.config import _NAMED_T5, RiporConfig
+        cfg = RiporConfig(t5=_NAMED_T5[backbone](), M=M, K=K)
     model = RiporModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
 
@@ -126,8 +133,8 @@ def main():
     print(json.dumps({
         "metric": "constrained_beam_queries_per_sec",
         "value": round(qps, 3),
-        "unit": (f"qps@beam{num_beams}_t5base_{M}x{K}_{n_docs}docs_1chip"
-                 + (f"_{quant}kv" if quant else "")),
+        "unit": (f"qps@beam{num_beams}_{backbone.replace('-', '')}_{M}x{K}"
+                 f"_{n_docs}docs_1chip" + (f"_{quant}kv" if quant else "")),
         "vs_baseline": round(qps / baseline_qps, 3),
     }))
 
