@@ -49,8 +49,8 @@ def _topk_block(queries, docs, k, approx: bool = False):
     return gs, jnp.take_along_axis(cand_i, gsel, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block", "nblocks"))
-def _topk_scan_device(queries, docs, k, block, nblocks):
+@functools.partial(jax.jit, static_argnames=("k", "block", "nblocks", "approx"))
+def _topk_scan_device(queries, docs, k, block, nblocks, approx=False):
     """Streaming top-k over a DEVICE-RESIDENT corpus, all inside one jit:
     lax.scan over ``nblocks`` dynamic_slice blocks with a running-top-k
     carry. This is the large-corpus serving path — the host-merge loop in
@@ -74,7 +74,12 @@ def _topk_scan_device(queries, docs, k, block, nblocks):
         gidx = start + jnp.arange(block, dtype=jnp.int32)
         s = jnp.where(gidx[None, :] >= b * block, s, neg)
         TILE = 2048
-        if block % TILE == 0 and block > 2 * TILE and k <= TILE:
+        if approx:
+            # TPU PartialReduce (recall ~0.95): one pass over the score
+            # volume instead of a bitonic sort — the sort is what binds the
+            # exact path (~10 GB/s effective corpus scan at 8.8M docs)
+            bs, bi = jax.lax.approx_max_k(s, min(k, block))
+        elif block % TILE == 0 and block > 2 * TILE and k <= TILE:
             nt = block // TILE
             Q = s.shape[0]
             ts, ti = jax.lax.top_k(s.reshape(Q * nt, TILE), k)
@@ -108,7 +113,8 @@ def device_corpus(docs: np.ndarray, dtype=jnp.bfloat16) -> jax.Array:
 
 def dense_topk(queries: np.ndarray, docs: np.ndarray, k: int,
                mesh: Optional[Mesh] = None,
-               block_docs: int = 1_000_000) -> Tuple[np.ndarray, np.ndarray]:
+               block_docs: int = 1_000_000,
+               approx: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Brute-force IP top-k. Single-device path streams doc blocks and
     merges on host; mesh path shards docs over 'data' inside one jit.
     Pass ``docs`` as a :func:`device_corpus` bf16 array for the
@@ -127,7 +133,8 @@ def dense_topk(queries: np.ndarray, docs: np.ndarray, k: int,
         # below would materialize a full block copy per step outside jit
         block = min(block_docs, n)
         nblocks = -(-n // block)
-        gs, gi = _topk_scan_device(queries, docs, k, block, nblocks)
+        gs, gi = _topk_scan_device(queries, docs, k, block, nblocks,
+                                   approx=approx)
         return np.asarray(gs), np.asarray(gi).astype(np.int64)
 
     best_s = np.full((queries.shape[0], k), -np.inf, np.float32)
