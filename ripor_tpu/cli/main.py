@@ -226,7 +226,13 @@ def cmd_dense_retrieve(args):
                                     ef_search=args.ef_search)
     else:
         embs, docids = open_mmap(args.mmap_dir, d=args.dim)
-        scores, idx = dense_topk(q_embs, np.asarray(embs), args.topk)
+        if getattr(args, "device_corpus", False):
+            from ripor_tpu.evaluation.retriever import device_corpus
+            corpus = device_corpus(np.asarray(embs))
+            scores, idx = dense_topk(q_embs, corpus, args.topk,
+                                     approx=getattr(args, "approx", False))
+        else:
+            scores, idx = dense_topk(q_embs, np.asarray(embs), args.topk)
         run = retrieve_to_run(queries.ids, docids, scores, idx)
     with open(args.out, "w") as f:
         json.dump(run, f)
@@ -563,6 +569,12 @@ def main(argv=None):
     pdr.add_argument("--ef-search", type=int, default=128)
     pdr.add_argument("--max-length", type=int, default=64)
     pdr.add_argument("--out", default="run.json")
+    pdr.add_argument("--device-corpus", action="store_true",
+                     help="hold the corpus in HBM as bf16 (8.8M x 768 fits "
+                          "one v5e chip) and serve via the in-jit scan path")
+    pdr.add_argument("--approx", action="store_true",
+                     help="approx_max_k top-k (recall ~0.95, ~12x faster at "
+                          "8.8M docs); device-corpus path only")
     pdr.set_defaults(fn=cmd_dense_retrieve)
 
     prr = sub.add_parser("rerank", help="cross-encoder teacher scoring")
