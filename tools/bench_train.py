@@ -18,7 +18,12 @@ from ripor_tpu.models import RiporModel, ripor_base
 from ripor_tpu.train import TrainConfig
 from ripor_tpu.train.trainer import TrainState, make_optimizer, make_train_step
 
-cfg = ripor_base(M=32, K=256)
+backbone = os.environ.get("BENCH_TRAIN_MODEL", "t5-base")
+if backbone == "t5-base":
+    cfg = ripor_base(M=32, K=256)
+else:
+    from ripor_tpu.models.config import _NAMED_T5, RiporConfig
+    cfg = RiporConfig(t5=_NAMED_T5[backbone](), M=32, K=256)
 if os.environ.get("BENCH_TRAIN_REMAT", "") == "1":
     import dataclasses
     cfg = dataclasses.replace(cfg, t5=dataclasses.replace(cfg.t5,
