@@ -248,6 +248,29 @@ def test_dense_topk_bf16_device_corpus(mesh8):
     np.testing.assert_array_equal(im, i32)
 
 
+def test_pruned_tile_topk_exact_and_tie_fallback():
+    """Tile-max pruning keeps exact top-k (retriever._pruned_tile_topk);
+    an all-ties score matrix fails the completeness check and must take
+    the verified full-sort fallback, still exact."""
+    import jax.numpy as jnp
+
+    from ripor_tpu.evaluation.retriever import _pruned_tile_topk
+
+    rng = np.random.default_rng(13)
+    s = rng.standard_normal((4, 4096)).astype(np.float32)
+    gs, gi = _pruned_tile_topk(jnp.asarray(s), 5, tile=16)  # keep << nt
+    want_i = np.argsort(-s, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(gi), want_i)
+    np.testing.assert_allclose(np.asarray(gs),
+                               np.take_along_axis(s, want_i, axis=1))
+    # all-equal scores: pruned-best == kth selected -> fallback branch
+    flat = np.zeros((2, 4096), np.float32)
+    flat[0, 40] = 1.0
+    gs, gi = _pruned_tile_topk(jnp.asarray(flat), 3, tile=16)
+    assert gi[0, 0] == 40 and abs(gs[0, 0] - 1.0) < 1e-6
+    assert np.all(np.asarray(gs)[0, 1:] == 0.0)
+
+
 def test_dense_topk_device_scan_tail_overlap():
     """Device-resident corpora stream through _topk_scan_device; a corpus
     size not divisible by the block clamps the tail block's start and masks
