@@ -206,7 +206,10 @@ def _dense_topk_mesh(queries, docs, k, mesh: Mesh):
         def local(qq, dd):
             s = jnp.einsum("qd,nd->qn", qq, dd,
                            preferred_element_type=jnp.float32)
-            ls, li = jax.lax.top_k(s, k)
+            if s.shape[1] % 512 == 0 and s.shape[1] > 1024:
+                ls, li = _pruned_tile_topk(s, min(k, s.shape[1]), 512)
+            else:
+                ls, li = jax.lax.top_k(s, min(k, s.shape[1]))
             shard = jax.lax.axis_index(DATA_AXIS)
             return ls, li + shard * shard_size
 
