@@ -10,6 +10,7 @@ tasks/evaluator.py:494-555) with fixed-shape batching.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Iterable, Optional, Tuple
 
 import jax
@@ -19,6 +20,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ripor_tpu.core.mesh import DATA_AXIS
 from ripor_tpu.models.ripor import RiporModel
+
+# pruning tile for exact MIPS top-k (_pruned_tile_topk): the sorted volume
+# is keep*TILE per query per block, so smaller tiles sort less; the floor
+# is the tile-max reduce pass over the score volume. v5e-measured at 8.8M
+# docs: 512 -> 935 qps exact (vs 198.5 unpruned).
+_TILE = int(os.environ.get("RIPOR_DENSE_TILE", "512"))
 
 
 def _pruned_tile_topk(s, k, tile: int = 512):
@@ -85,10 +92,9 @@ def _topk_block(queries, docs, k, approx: bool = False):
     Q, N = scores.shape
     if approx:
         return jax.lax.approx_max_k(scores, k)
-    TILE = 512
-    if N % TILE != 0 or N <= 2 * TILE:
+    if N % _TILE != 0 or N <= 2 * _TILE:
         return jax.lax.top_k(scores, k)
-    return _pruned_tile_topk(scores, k, TILE)
+    return _pruned_tile_topk(scores, k, _TILE)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block", "nblocks", "approx"))
@@ -115,14 +121,13 @@ def _topk_scan_device(queries, docs, k, block, nblocks, approx=False):
                        preferred_element_type=jnp.float32)
         gidx = start + jnp.arange(block, dtype=jnp.int32)
         s = jnp.where(gidx[None, :] >= b * block, s, neg)
-        TILE = 512
         if approx:
             # TPU PartialReduce (recall ~0.95): one pass over the score
             # volume instead of a bitonic sort — the sort is what binds the
             # unpruned exact path (~10 GB/s effective corpus scan)
             bs, bi = jax.lax.approx_max_k(s, min(k, block))
-        elif block % TILE == 0 and block > 2 * TILE:
-            bs, bi = _pruned_tile_topk(s, min(k, block), TILE)
+        elif block % _TILE == 0 and block > 2 * _TILE:
+            bs, bi = _pruned_tile_topk(s, min(k, block), _TILE)
         else:
             bs, bi = jax.lax.top_k(s, min(k, block))
         all_s = jnp.concatenate([best_s, bs], axis=1)
@@ -206,8 +211,8 @@ def _dense_topk_mesh(queries, docs, k, mesh: Mesh):
         def local(qq, dd):
             s = jnp.einsum("qd,nd->qn", qq, dd,
                            preferred_element_type=jnp.float32)
-            if s.shape[1] % 512 == 0 and s.shape[1] > 1024:
-                ls, li = _pruned_tile_topk(s, min(k, s.shape[1]), 512)
+            if s.shape[1] % _TILE == 0 and s.shape[1] > 2 * _TILE:
+                ls, li = _pruned_tile_topk(s, min(k, s.shape[1]), _TILE)
             else:
                 ls, li = jax.lax.top_k(s, min(k, s.shape[1]))
             shard = jax.lax.axis_index(DATA_AXIS)
