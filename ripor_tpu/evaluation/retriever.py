@@ -24,8 +24,9 @@ from ripor_tpu.models.ripor import RiporModel
 # pruning tile for exact MIPS top-k (_pruned_tile_topk): the sorted volume
 # is keep*TILE per query per block, so smaller tiles sort less; the floor
 # is the tile-max reduce pass over the score volume. v5e-measured at 8.8M
-# docs: 512 -> 935 qps exact (vs 198.5 unpruned).
-_TILE = int(os.environ.get("RIPOR_DENSE_TILE", "512"))
+# docs bf16: unpruned 198.5 qps, 512 -> 935, 256 -> 1234, 128 -> 1271
+# (flattened; max-reduce/einsum floor). 256 is the default.
+_TILE = int(os.environ.get("RIPOR_DENSE_TILE", "256"))
 
 
 def _pruned_tile_topk(s, k, tile: int = 512):
