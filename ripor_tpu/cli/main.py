@@ -242,29 +242,21 @@ def cmd_dense_retrieve(args):
 def cmd_rerank(args):
     """Cross-encoder teacher scoring of a run file -> teacher trainset JSONL
     (reference rerank.py task=rerank_for_create_trainset{,_2})."""
-    import jax
-    import jax.numpy as jnp
     from ripor_tpu.data import Collection, UnigramTokenizer
-    from ripor_tpu.evaluation.reranker import rerank_pairs
-    from ripor_tpu.models.cross_encoder import BertCrossEncoder
-    from ripor_tpu.train import load_params
+    from ripor_tpu.evaluation.reranker import load_bert_teacher, rerank_pairs
 
     tok = UnigramTokenizer.load(args.tokenizer)
     queries = Collection(args.queries)
     docs = Collection(args.docs)
     with open(args.run) as f:
         run = json.load(f)
-    ce = BertCrossEncoder(vocab_size=args.ce_vocab_size)
-    params = load_params(args.ce_checkpoint)
-
-    @jax.jit
-    def score(ids, mask):
-        return ce.apply({"params": params}, jnp.asarray(ids),
-                        jnp.asarray(mask), deterministic=True)
+    # load_bert_teacher reads bert_geometry.json next to the checkpoint and
+    # derives token_type_ids from the [SEP] position (the training
+    # convention) — an inline apply without types would skew every score
+    score_fn = load_bert_teacher(args.ce_checkpoint, args.ce_vocab_size)
 
     pairs = [(q, d) for q, dd in run.items() for d in list(dd)[:args.topk]]
-    scored = rerank_pairs(lambda i, m: np.asarray(score(i, m)), tok,
-                          queries, docs, pairs,
+    scored = rerank_pairs(score_fn, tok, queries, docs, pairs,
                           batch_size=args.batch_size,
                           max_length=args.max_length)
     with open(args.out, "w") as f:
@@ -352,30 +344,32 @@ def cmd_rerank_task_merge(args):
     from ripor_tpu.evaluation import rerank_tasks as rt
 
     t = args.task
+    nr = args.nranks  # None -> merge whatever shards exist (legacy)
     if t == "rerank_for_create_trainset":
         out = rt.rerank_for_create_trainset_merge(args.out_dir,
-                                                  topk=args.topk)
+                                                  topk=args.topk, nranks=nr)
     elif t == "rerank_for_evaluate":
-        out = rt.rerank_for_evaluate_merge(args.out_dir)
+        out = rt.rerank_for_evaluate_merge(args.out_dir, nranks=nr)
     elif t == "assign_scores_for_pseudo_queries":
-        out = rt.assign_scores_for_pseudo_queries_merge(args.out_dir)
+        out = rt.assign_scores_for_pseudo_queries_merge(args.out_dir,
+                                                        nranks=nr)
     elif t == "query_to_docid_rerank_for_qid_smtids":
         qrel = load_qrel(args.qrel) if args.qrel else None
         out, metrics = rt.query_to_docid_rerank_for_qid_smtids_merge(
-            args.out_dir, _d2s_map(args.docid_to_smtid), qrel)
+            args.out_dir, _d2s_map(args.docid_to_smtid), qrel, nranks=nr)
         if metrics:
             print(json.dumps(metrics, indent=2))
     elif t == "teacher_rerank_for_qid_smtids":
-        out = rt.teacher_rerank_for_qid_smtids_merge(args.out_dir)
+        out = rt.teacher_rerank_for_qid_smtids_merge(args.out_dir, nranks=nr)
     elif t == "cross_encoder_rerank_for_same_prefix_docid":
         out, _ = rt.cross_encoder_rerank_for_same_prefix_docid_merge(
-            args.out_dir)
+            args.out_dir, nranks=nr)
     elif t == "cross_encoder_rerank_for_same_reldocid_hard_docids":
         out = rt.cross_encoder_rerank_for_same_reldocid_hard_docids_merge(
-            args.out_dir)
+            args.out_dir, nranks=nr)
     elif t == "cross_encoder_rerank_for_qid_smtid_docids":
         out = rt.cross_encoder_rerank_for_qid_smtid_docids_merge(
-            args.out_dir)
+            args.out_dir, nranks=nr)
     else:
         raise SystemExit(f"unknown task {t}")
     print(f"wrote {out}")
@@ -447,6 +441,9 @@ def cmd_datagen(args):
     if args.teacher == "bert":
         if not args.teacher_ckpt:
             raise SystemExit("--teacher bert requires --teacher-ckpt")
+        if not args.docs:
+            raise SystemExit("--teacher bert requires --docs (the teacher "
+                             "scores raw (query, document) text pairs)")
         docs_coll = Collection(args.docs)
         score_fn = load_bert_teacher(args.teacher_ckpt, tok.vocab_size)
 
@@ -618,6 +615,9 @@ def main(argv=None):
     prtm.add_argument("--task", required=True,
                       choices=RERANK_TASKS + ["rerank_for_evaluate"])
     prtm.add_argument("--out-dir", required=True)
+    prtm.add_argument("--nranks", type=int, default=None,
+                      help="verify shards for ranks 0..nranks-1 all exist "
+                           "before merging (omit to merge whatever is there)")
     prtm.add_argument("--topk", type=int, default=200)
     prtm.add_argument("--docid-to-smtid")
     prtm.add_argument("--qrel")

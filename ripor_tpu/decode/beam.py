@@ -241,6 +241,11 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             f"cache_segments={cache_segments} gives bounds {bounds} — "
             "pick cache_segments so every span is even")
     if quant and not deferred:
+        if spans_even:
+            raise ValueError(
+                f"kv_cache_quant={quant} requires the deferred decode path "
+                "but deferred=False was passed explicitly — drop "
+                "deferred=False (or the quant request)")
         raise ValueError(
             f"kv_cache_quant={quant} requires the deferred decode path, but "
             f"the segment spans for M={M}, cache_segments={cache_segments} "

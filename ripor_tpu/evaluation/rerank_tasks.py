@@ -39,24 +39,37 @@ def _write(path: Path, obj) -> str:
     return str(path)
 
 
-def _rank_files(out_dir: str, stem: str) -> List[Path]:
+def _rank_files(out_dir: str, stem: str,
+                nranks: Optional[int] = None) -> List[Path]:
     """Shard files ``{stem}_<rank>.json`` (exact stem — "rerank" must not
-    swallow "rerank_teacher_0.json")."""
+    swallow "rerank_teacher_0.json"). When ``nranks`` is given, every rank
+    0..nranks-1 must be present — a shard lost to a dead worker must fail
+    the merge, not silently drop that rank's queries (cmd_retrieve_merge
+    enforces the same)."""
     out = Path(out_dir)
     def is_shard(p: Path) -> bool:
         if not (p.name.startswith(stem + "_") and p.suffix == ".json"):
             return False
         tail = p.name[len(stem) + 1:-len(".json")]
         return tail.isdigit()
-    return sorted(p for p in out.iterdir() if is_shard(p))
+    files = sorted(p for p in out.iterdir() if is_shard(p))
+    if nranks is not None:
+        have = {int(p.name[len(stem) + 1:-len(".json")]) for p in files}
+        missing = sorted(set(range(nranks)) - have)
+        if missing:
+            raise FileNotFoundError(
+                f"missing {stem}_<rank>.json shards for ranks {missing} "
+                f"in {out_dir} (expected ranks 0..{nranks - 1})")
+    return files
 
 
-def _merge_flat(out_dir: str, stem: str, remove: bool = True
+def _merge_flat(out_dir: str, stem: str, remove: bool = True,
+                nranks: Optional[int] = None
                 ) -> Dict[str, Dict[str, float]]:
     """Update-merge per-rank {qid: {key: score}} shards
     (rerank.py:72-85 pattern)."""
     merged: Dict[str, Dict[str, float]] = {}
-    files = _rank_files(out_dir, stem)
+    files = _rank_files(out_dir, stem, nranks)
     assert files, f"no {stem}_*.json shards in {out_dir}"
     for p in files:
         with open(p) as f:
@@ -69,12 +82,13 @@ def _merge_flat(out_dir: str, stem: str, remove: bool = True
     return merged
 
 
-def _merge_nested(out_dir: str, stem: str, remove: bool = True
+def _merge_nested(out_dir: str, stem: str, remove: bool = True,
+                  nranks: Optional[int] = None
                   ) -> Dict[str, Dict[str, List[List]]]:
     """Concat-merge per-rank {qid: {smtid: [[docid, score], ...]}} shards
     (rerank.py:450-464 pattern), re-sorted by score desc."""
     merged: Dict[str, Dict[str, List[List]]] = {}
-    files = _rank_files(out_dir, stem)
+    files = _rank_files(out_dir, stem, nranks)
     assert files, f"no {stem}_*.json shards in {out_dir}"
     for p in files:
         with open(p) as f:
@@ -113,11 +127,12 @@ def rerank_for_create_trainset(score_fn: ScoreFn, tok: TextTokenizer,
     return _write(Path(out_dir) / f"rerank_{rank}.json", scored)
 
 
-def rerank_for_create_trainset_merge(out_dir: str, topk: int = 200) -> str:
+def rerank_for_create_trainset_merge(out_dir: str, topk: int = 200,
+                                     nranks: Optional[int] = None) -> str:
     """Merge rank shards -> qid_docids_teacher_scores.train.json JSONL with
     per-query top-``topk`` docs sorted by teacher score (reference
     rerank_for_create_trainset_2, rerank.py:67-113)."""
-    merged = _merge_flat(out_dir, "rerank")
+    merged = _merge_flat(out_dir, "rerank", nranks=nranks)
     out = Path(out_dir) / "qid_docids_teacher_scores.train.json"
     with open(out, "w") as f:
         for qid, rankdata in merged.items():
@@ -128,11 +143,12 @@ def rerank_for_create_trainset_merge(out_dir: str, topk: int = 200) -> str:
     return str(out)
 
 
-def rerank_for_evaluate_merge(out_dir: str) -> str:
+def rerank_for_evaluate_merge(out_dir: str,
+                              nranks: Optional[int] = None) -> str:
     """Merge rank shards -> qid_to_rerank_data.json (reference
     rerank_for_evaluate_2, rerank.py:114-158: same merge, run-style output
     for trec evaluation instead of a trainset)."""
-    merged = _merge_flat(out_dir, "rerank")
+    merged = _merge_flat(out_dir, "rerank", nranks=nranks)
     return _write(Path(out_dir) / "qid_to_rerank_data.json", merged)
 
 
@@ -159,9 +175,11 @@ def assign_scores_for_pseudo_queries(score_fn: ScoreFn, tok: TextTokenizer,
                   pid_to_qids)
 
 
-def assign_scores_for_pseudo_queries_merge(out_dir: str) -> str:
+def assign_scores_for_pseudo_queries_merge(out_dir: str,
+                                           nranks: Optional[int] = None
+                                           ) -> str:
     """rerank.py:181-202."""
-    merged = _merge_flat(out_dir, "pid_qids_rerank_scores")
+    merged = _merge_flat(out_dir, "pid_qids_rerank_scores", nranks=nranks)
     return _write(Path(out_dir) / "pid_qids_rerank_scores.json", merged)
 
 
@@ -189,12 +207,12 @@ def query_to_docid_rerank_for_qid_smtids(cfg, params, tok: TextTokenizer,
 
 def query_to_docid_rerank_for_qid_smtids_merge(
         out_dir: str, docid_to_smtid: Mapping[str, Sequence[int]],
-        qrel: Optional[Mapping[str, Mapping[str, int]]] = None
-        ) -> Tuple[str, Dict[str, float]]:
+        qrel: Optional[Mapping[str, Mapping[str, int]]] = None,
+        nranks: Optional[int] = None) -> Tuple[str, Dict[str, float]]:
     """Merge -> qid_smtids_rerank.json; when a qrel is given also write
     metric.json with smtid-level MRR@10/@100 (reference
     query_to_docid_rerank_for_qid_smtids_2, rerank.py:257-312)."""
-    merged = _merge_flat(out_dir, "qid_smtids_rerank")
+    merged = _merge_flat(out_dir, "qid_smtids_rerank", nranks=nranks)
     path = _write(Path(out_dir) / "qid_smtids_rerank.json", merged)
     metrics: Dict[str, float] = {}
     if qrel is not None:
@@ -229,9 +247,10 @@ def teacher_rerank_for_qid_smtids(score_fn: ScoreFn, tok: TextTokenizer,
     return _write(Path(out_dir) / f"rerank_teacher_{rank}.json", scored)
 
 
-def teacher_rerank_for_qid_smtids_merge(out_dir: str) -> str:
+def teacher_rerank_for_qid_smtids_merge(out_dir: str,
+                                        nranks: Optional[int] = None) -> str:
     """rerank.py:339-367."""
-    merged = _merge_flat(out_dir, "rerank_teacher")
+    merged = _merge_flat(out_dir, "rerank_teacher", nranks=nranks)
     return _write(Path(out_dir) / "rerank_teacher.json", merged)
 
 
@@ -270,13 +289,14 @@ def cross_encoder_rerank_for_same_prefix_docid(
                   rankdata)
 
 
-def cross_encoder_rerank_for_same_prefix_docid_merge(out_dir: str
-                                                     ) -> Tuple[str, str]:
+def cross_encoder_rerank_for_same_prefix_docid_merge(
+        out_dir: str, nranks: Optional[int] = None) -> Tuple[str, str]:
     """Merge -> qid_to_smtid_to_rerank.json + the (identically-valued)
     qid_to_smtid_to_sampled_rerank.json the curriculum consumes (reference
     cross_encoder_rerank_for_same_prefix_docid_2, rerank.py:444-498 — its
     sub-sampling branch is commented out upstream)."""
-    merged = _merge_nested(out_dir, "qid_to_smtid_to_rerank")
+    merged = _merge_nested(out_dir, "qid_to_smtid_to_rerank",
+                           nranks=nranks)
     a = _write(Path(out_dir) / "qid_to_smtid_to_rerank.json", merged)
     b = _write(Path(out_dir) / "qid_to_smtid_to_sampled_rerank.json", merged)
     return a, b
@@ -301,10 +321,11 @@ def cross_encoder_rerank_for_same_reldocid_hard_docids(
         rankdata)
 
 
-def cross_encoder_rerank_for_same_reldocid_hard_docids_merge(out_dir: str
-                                                             ) -> str:
+def cross_encoder_rerank_for_same_reldocid_hard_docids_merge(
+        out_dir: str, nranks: Optional[int] = None) -> str:
     """rerank.py:534-586."""
-    merged = _merge_nested(out_dir, "qid_to_reldocid_to_hard_rerank")
+    merged = _merge_nested(out_dir, "qid_to_reldocid_to_hard_rerank",
+                           nranks=nranks)
     return _write(Path(out_dir) / "qid_to_reldocid_to_hard_rerank.json",
                   merged)
 
@@ -325,11 +346,16 @@ def cross_encoder_rerank_for_qid_smtid_docids(
     sampled = {q: qid_to_smtid_to_docids[q] for q in qids}
     rankdata = rerank_qid_smtid_docids(score_fn, tok, queries, docs,
                                        sampled, batch_size, max_length)
-    stem = str(qid_smtid_docids_path).split(".")[0]
-    return _write(Path(f"{stem}_teacher_score_{rank}.train.json"), rankdata)
+    # stem from the FILENAME only — a dot in a directory component must
+    # not truncate the path
+    src = Path(qid_smtid_docids_path)
+    stem = src.name.split(".")[0]
+    return _write(src.parent / f"{stem}_teacher_score_{rank}.train.json",
+                  rankdata)
 
 
-def cross_encoder_rerank_for_qid_smtid_docids_merge(out_dir: str) -> str:
+def cross_encoder_rerank_for_qid_smtid_docids_merge(
+        out_dir: str, nranks: Optional[int] = None) -> str:
     """Merge -> qid_smtid_docids_teacher_score.train.json (reference
     rerank.py:625-654)."""
     out = Path(out_dir)
@@ -338,6 +364,14 @@ def cross_encoder_rerank_for_qid_smtid_docids_merge(out_dir: str) -> str:
                    and p.name.endswith(".train.json")
                    and p.name != "qid_smtid_docids_teacher_score.train.json")
     assert files, f"no *_teacher_score_<rank>.train.json shards in {out_dir}"
+    if nranks is not None:
+        have = {int(p.name.rsplit("_teacher_score_", 1)[1].split(".")[0])
+                for p in files}
+        missing = sorted(set(range(nranks)) - have)
+        if missing:
+            raise FileNotFoundError(
+                f"missing _teacher_score_<rank> shards for ranks {missing} "
+                f"in {out_dir} (expected ranks 0..{nranks - 1})")
     merged: Dict[str, Dict[str, List[List]]] = {}
     for p in files:
         with open(p) as f:

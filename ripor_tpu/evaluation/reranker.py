@@ -149,7 +149,16 @@ def load_bert_teacher(ckpt_dir: str, vocab_size: int,
 
     @jax.jit
     def score(ids, mask):
-        return ce.apply({"params": params}, ids, mask, deterministic=True)
+        # token_type_ids re-derived from the first [SEP]: doc-segment
+        # tokens (strictly after it, inside the row) get type 1, exactly
+        # the BertBceCollator training convention (data/collators.py) and
+        # the reference teacher's qd_kwargs (cross_encoder.py:17-23) —
+        # omitting them here would be a train/serve input skew
+        sep = jnp.argmax(ids == SEP_ID, axis=1)
+        pos = jnp.arange(ids.shape[1], dtype=sep.dtype)
+        types = ((pos[None, :] > sep[:, None]) & (mask == 1)).astype(jnp.int32)
+        return ce.apply({"params": params}, ids, mask, types,
+                        deterministic=True)
 
     return lambda ids, mask: np.asarray(
         score(jnp.asarray(ids), jnp.asarray(mask)), np.float32)

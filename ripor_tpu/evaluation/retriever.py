@@ -83,10 +83,8 @@ def _topk_block(queries, docs, k, approx: bool = False):
 
     XLA's top_k lowers to a bitonic sort whose cost scales with the full
     [Q, N] score volume x log^2(N) — the dominant cost at N ~ 1M. Exact
-    path: two-level tiled top-k (per-2048-tile top-k, then a merge over
-    [N/2048*k] survivors) — exact because every tile keeps its own top-k,
-    and any global winner is a winner within its tile; ~4x shallower sort
-    networks. ``approx``: jax.lax.approx_max_k (TPU PartialReduce,
+    path: :func:`_pruned_tile_topk` (tile-max pruning + verified
+    fallback). ``approx``: jax.lax.approx_max_k (TPU PartialReduce,
     recall ~0.95) for serving paths that tolerate it."""
     scores = jnp.einsum("qd,nd->qn", queries, docs,
                         preferred_element_type=jnp.float32)
@@ -173,8 +171,17 @@ def dense_topk(queries: np.ndarray, docs: np.ndarray, k: int,
 
     if on_device:
         # serving path: scan the corpus in place — the host-merge loop
-        # below would materialize a full block copy per step outside jit
+        # below would materialize a full block copy per step outside jit.
+        # Pick the block as a _TILE multiple so the pruned exact top-k
+        # applies to ANY corpus size (the clamped-overlap tail masks the
+        # re-scored rows, so block need not divide n).
         block = min(block_docs, n)
+        if n >= 2 * _TILE and not approx:
+            nblocks = -(-n // block)
+            block = -(-n // (nblocks * _TILE)) * _TILE
+            while block > n:
+                nblocks += 1
+                block = -(-n // (nblocks * _TILE)) * _TILE
         nblocks = -(-n // block)
         gs, gi = _topk_scan_device(queries, docs, k, block, nblocks,
                                    approx=approx)

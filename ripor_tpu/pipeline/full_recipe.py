@@ -135,6 +135,7 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                     curriculum: Optional[Sequence[int]] = None,
                     num_beams: int = 10, topk: int = 100,
                     batch_size: int = 16, decay: int = 2,
+                    teacher_geometry: Optional[Dict] = None,
                     seed: int = 0) -> Dict[str, Dict[str, float]]:
     """Run phases 1..3 on a corpus slice; returns per-phase retrieval
     metrics {"phase2": {...}, "phase3": {...}} so callers can assert the
@@ -144,11 +145,14 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
     docs = Collection(docs_dir)
     queries = Collection(queries_dir)
     qrel = load_qrel(qrel_path)
-    curriculum = list(curriculum) if curriculum is not None else sorted(
-        {p for p in (4, 8, 16, 32) if p < M} | {M})
 
     tok = stage_tokenizer(ws, docs.texts + queries.texts, vocab_size)
     cfg = cfg or _small_cfg(M, K, tok.vocab_size)
+    # curriculum from the RESOLVED config's M — a custom cfg with M=32 must
+    # get the full 4->8->16->32 ladder even if the M parameter was left at
+    # its default (reference full_lng_knp_train_pipline.sh:28-100)
+    curriculum = list(curriculum) if curriculum is not None else sorted(
+        {p for p in (4, 8, 16, 32) if p < cfg.M} | {cfg.M})
     model = RiporModel(cfg)
     params = init_ripor_params(jax.random.PRNGKey(seed), cfg)
 
@@ -177,9 +181,15 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
     d2c = dict(zip(docids, codes))
 
     # ---- cross-encoder teacher ----------------------------------------
+    # teacher_geometry defaults to a CI-sized toy model inside
+    # _train_bert_teacher; real runs should pass MiniLM-class geometry,
+    # e.g. dict(d_model=384, num_layers=6, num_heads=12, d_ff=1536,
+    # max_position=512) (reference teacher: ms-marco-MiniLM-L-6-v2,
+    # arguments.py:218)
     teacher_ckpt = _train_bert_teacher(ws, tok, queries, docs, qrel,
                                        epochs=teacher_epochs,
-                                       batch_size=batch_size, seed=seed)
+                                       batch_size=batch_size, seed=seed,
+                                       geometry=teacher_geometry)
     from ripor_tpu.evaluation.reranker import load_bert_teacher, rerank_pairs
     teacher_fn = load_bert_teacher(teacher_ckpt, tok.vocab_size)
 

@@ -215,3 +215,46 @@ def test_bert_teacher_roundtrip(tmp_path, tiny_corpus):
                        max_length=24)
     assert set(run["q0"]) == {"d0", "d1"}
     assert all(np.isfinite(v) for v in run["q0"].values())
+
+
+def test_bert_teacher_token_types_match_training_convention(tiny_corpus):
+    """load_bert_teacher derives token_type_ids from the [SEP] position;
+    its scores must equal applying the model with the BertBceCollator's
+    types (doc segment + EOS = 1) — a zero-types apply would be a
+    train/serve input skew."""
+    from ripor_tpu.data.collators import BertBceCollator
+    from ripor_tpu.evaluation.reranker import encode_pairs, load_bert_teacher
+    from ripor_tpu.models.cross_encoder import BertCrossEncoder
+    from ripor_tpu.train import save_params
+
+    docs, queries = tiny_corpus
+    tok = HashTokenizer(500)
+    geo = dict(d_model=32, num_layers=2, num_heads=4, d_ff=64, max_position=64)
+    ce = BertCrossEncoder(vocab_size=tok.vocab_size, **geo)
+    ids0 = jnp.ones((1, 8), jnp.int32)
+    params = ce.init({"params": jax.random.PRNGKey(1)}, ids0, ids0)["params"]
+    import json as _json
+    import tempfile
+    from pathlib import Path
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = Path(td) / "t"
+        save_params(ckpt, params)
+        (ckpt / "bert_geometry.json").write_text(_json.dumps(geo))
+        score_fn = load_bert_teacher(str(ckpt), tok.vocab_size)
+
+        coll = BertBceCollator(tok, queries, docs, max_length=24)
+        batch = coll([("q0", "d0", 1), ("q1", "d1", 0)])
+        want = np.asarray(ce.apply(
+            {"params": params}, jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["attention_mask"]),
+            jnp.asarray(batch["token_type_ids"]), deterministic=True))
+        ids, mask = encode_pairs(tok, [queries["q0"], queries["q1"]],
+                                 [docs["d0"], docs["d1"]], 24)
+        np.testing.assert_array_equal(ids, batch["input_ids"])
+        got = score_fn(ids, mask)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        # and differ from the zero-types apply (the old skewed path)
+        skew = np.asarray(ce.apply(
+            {"params": params}, jnp.asarray(ids), jnp.asarray(mask),
+            deterministic=True))
+        assert not np.allclose(skew, want, rtol=1e-5, atol=1e-5)

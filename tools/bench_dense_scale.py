@@ -36,6 +36,7 @@ n_q = int(os.environ.get("DENSE_Q", 256))
 k = int(os.environ.get("DENSE_K", 100))
 
 CHUNK = int(os.environ.get("DENSE_CHUNK", 1 << 20))  # rows per RNG fill
+CHUNK = min(CHUNK, n_docs)  # small-corpus runs: one fill covers everything
 # rows per top-k scan block: bounds the in-jit transient (block copy +
 # f32 scores) so corpus 13.5 GB + transients stay under 16 GB HBM
 BLOCK = int(os.environ.get("DENSE_BLOCK", 1 << 19))
