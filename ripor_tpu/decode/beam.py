@@ -163,7 +163,8 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                         deferred: Optional[bool] = None,
                         kv_cache_int8: bool = False,
                         kv_cache_quant: Optional[str] = None,
-                        kvg_quant_xla: Optional[bool] = None):
+                        kvg_quant_xla: Optional[bool] = None,
+                        megarow: Optional[bool] = None):
     """Build a jitted beam-search function.
 
     Returns fn(params, input_ids, attention_mask, tables)
@@ -202,6 +203,13 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     that the kernel gets for free (rows already in VMEM), and the ~150
     MB/step gather saving doesn't cover it. Default OFF; kept as an option
     (RIPOR_KVG_XLA=1) for geometries where the gather dominates.
+
+    ``megarow``: deferred variant over a beam-major [B, N, L, Mc, RW] cache
+    (ops/megarow.py): ONE all-layers reorder kernel per step (per-beam
+    descriptors ~L× larger, so the gather is bandwidth- instead of
+    descriptor-issue-bound) + sequential-read attention per layer. One more
+    cache pass per step than ``deferred``, every pass at parallel-DMA
+    bandwidth. Default: RIPOR_MEGAROW=1 env, else off. Implies deferred.
     """
     M = max_steps or cfg.M
     N = num_beams
@@ -230,6 +238,14 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     seg = len(bounds)
     spans_even = all((hi - lo) % 2 == 0
                      for lo, hi in zip([0] + bounds[:-1], bounds))
+    if megarow is None:
+        import os
+        megarow = os.environ.get("RIPOR_MEGAROW", "0") == "1"
+    if megarow:
+        if deferred is False:
+            raise ValueError("megarow=True implies the deferred path — "
+                             "drop deferred=False")
+        deferred = True
     if deferred is None:
         # quantized caches live only in the deferred path, which also has
         # an interpret mode — so a quant request turns deferred on
@@ -256,6 +272,9 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                          and os.environ.get("RIPOR_KVG_XLA", "0") == "1")
     assert not kvg_quant_xla or kv_cache_int8, \
         "kvg_quant_xla only applies to the int8 cache"
+    if megarow and kvg_quant_xla:
+        raise ValueError("megarow quantizes kvg in its reorder kernel; "
+                         "kvg_quant_xla does not apply")
     # The deferred kernel moves whole beam-row chunks; pad the beam axis
     # ONCE to a CHUNK multiple and kill ranks >= N every step (exact
     # width-N semantics) — the kernel's per-call pad fallback would copy
@@ -272,6 +291,13 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
         # in the decode shares it (and the one-time beam pad matches)
         ar_chunk = pick_chunk(bufs[-1], rw, isz)
         Np = -ar_chunk * (-N // ar_chunk)
+        if megarow:
+            # fail fast if the all-layers row chunk cannot fit VMEM (the
+            # reorder kernel splits layers into groups; raises if even a
+            # single-layer group overflows) and keep Np a multiple of the
+            # reorder chunk too (8 | pick_chunk's multiples of 8)
+            from ripor_tpu.ops.megarow import pick_layer_group
+            pick_layer_group(cfg.t5.num_decoder_layers, bufs[-1], rw, isz)
 
     @jax.jit
     def run(params, input_ids, attention_mask, tables):
@@ -362,6 +388,23 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                     kvg = beam_gather_rows(kv_new, src)
             return new_scores, new_state, tok, codes, new_cache, src, kvg
 
+        def one_step_megarow(beam_scores, state, tokens, codes, ca, cb,
+                             src_prev, kvg, t, write_back=True):
+            """Megarow variant: one all-layers reorder kernel + per-layer
+            sequential attention (RiporModel.decode_step_megarow). The
+            reorder always writes (it feeds the same step's attention);
+            write_back=False only skips the final step's dead kvg gather."""
+            from ripor_tpu.ops.beam_gather import beam_gather_rows
+            logits, new_cache, kv_new = model.apply(
+                {"params": params}, tokens, ca, cb, src_prev, kvg,
+                cross_kv, enc_bias, self_bias, t, ar_chunk,
+                method=RiporModel.decode_step_megarow)
+            new_scores, new_state, tok, codes, src = select(
+                beam_scores, state, codes, logits, t)
+            if write_back:
+                kvg = beam_gather_rows(kv_new, src)
+            return new_scores, new_state, tok, codes, new_cache, src, kvg
+
         def step(carry, t):
             beam_scores, state, tokens, codes, cache = carry
             out = one_step(beam_scores, state, tokens, codes, cache, None, t)
@@ -385,10 +428,18 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             # the attention kernel completes it while reading (two cache
             # passes/step instead of three, all at parallel-DMA bandwidth).
             # The deferred cache is K|V-MERGED: [L, B, N, Mc, 2F].
-            cache = model.apply({"params": params}, B, Np, bufs[0],
-                                method=lambda m, b_, n_, l_:
-                                m.decoder.init_cache_merged(
-                                    b_, n_, l_, quantized=quant or False))
+            if megarow:
+                cache = model.apply({"params": params}, B, Np, bufs[0],
+                                    method=lambda m, b_, n_, l_:
+                                    m.decoder.init_cache_megarow(
+                                        b_, n_, l_, quantized=quant or False))
+                n_layers = cache.shape[2]
+            else:
+                cache = model.apply({"params": params}, B, Np, bufs[0],
+                                    method=lambda m, b_, n_, l_:
+                                    m.decoder.init_cache_merged(
+                                        b_, n_, l_, quantized=quant or False))
+                n_layers = cache.shape[0]
             # the pending-kvg rows stay exact bf16 [2F] regardless of the
             # cache's quantization (they're quantized at insert, in-kernel)
             kv_row = 2 * cfg.t5.inner_dim if quant else cache.shape[4]
@@ -397,17 +448,18 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             if kvg_quant_xla:
                 # pre-quantized kvg rides in cache-row layout (int8 rows
                 # incl. scale cols); zero rows dequantize to exact zeros
-                kvg = jnp.zeros((B, Np, cache.shape[0] * cache.shape[4]),
+                kvg = jnp.zeros((B, Np, n_layers * cache.shape[4]),
                                 jnp.int8)
             else:
-                kvg = jnp.zeros((B, Np, cache.shape[0] * kv_row), dtype)
+                kvg = jnp.zeros((B, Np, n_layers * kv_row), dtype)
             cb = jnp.zeros_like(cache)
+            stepf = one_step_megarow if megarow else one_step_deferred
 
             def pair_deferred(carry, ts):
                 bs, st, tk, cd, ca_, cb_, sp, kg = carry
-                bs, st, tk, cd, cb_, sp, kg = one_step_deferred(
+                bs, st, tk, cd, cb_, sp, kg = stepf(
                     bs, st, tk, cd, ca_, cb_, sp, kg, ts[0])
-                bs, st, tk, cd, ca_, sp, kg = one_step_deferred(
+                bs, st, tk, cd, ca_, sp, kg = stepf(
                     bs, st, tk, cd, cb_, ca_, sp, kg, ts[1])
                 return (bs, st, tk, cd, ca_, cb_, sp, kg), None
 
@@ -425,13 +477,13 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                      src_prev, kvg) = carry
                 if last_seg:  # final two steps unrolled; last skips writeback
                     (beam_scores, state, tokens, codes, cb, src_prev,
-                     kvg) = one_step_deferred(beam_scores, state, tokens,
-                                              codes, cache, cb, src_prev,
-                                              kvg, hi - 2)
+                     kvg) = stepf(beam_scores, state, tokens,
+                                  codes, cache, cb, src_prev,
+                                  kvg, hi - 2)
                     (beam_scores, state, tokens, codes, _, src_prev,
-                     kvg) = one_step_deferred(beam_scores, state, tokens,
-                                              codes, cb, cache, src_prev,
-                                              kvg, hi - 1, write_back=False)
+                     kvg) = stepf(beam_scores, state, tokens,
+                                  codes, cb, cache, src_prev,
+                                  kvg, hi - 1, write_back=False)
                 elif s + 1 < seg:
                     grow = bufs[s + 1] - bufs[s]
                     pad = [(0, 0)] * 3 + [(0, grow), (0, 0)]  # Mc axis of 5-D

@@ -266,6 +266,31 @@ class RiporModel(nn.Module):
             logits = jax.nn.log_softmax(logits, axis=-1)
         return logits, new_cache, kv_new
 
+    def decode_step_megarow(self, tokens, cache_src, cache_dst, src, kvg,
+                            cross_kv: CrossKV, enc_bias, self_bias, t,
+                            ar_chunk: Optional[int] = None):
+        """decode_step_deferred over the beam-major megarow cache
+        (Decoder.decode_step_megarow / ops/megarow.py): one all-layers
+        reorder kernel per step + sequential-read attention per layer.
+        Same pending-reorder (src/kvg) dataflow and logits semantics."""
+        b, n = tokens.shape
+        books = self._in_books()
+        start = jnp.broadcast_to(
+            jnp.asarray(self.start_embed, self.dtype)[None, None, :],
+            (b, n, books.shape[-1]))
+        prev_books = books[jnp.maximum(t - 1, 0)]        # [K, d]
+        tok_embed = prev_books[tokens]                   # [B, N, d]
+        x = jnp.where(t == 0, start, tok_embed)
+        hidden, new_cache, kv_new = self.decoder.decode_step_megarow(
+            x, cache_src, cache_dst, src, kvg, cross_kv, enc_bias,
+            self_bias, t, ar_chunk=ar_chunk)
+        hidden = self._maybe_scale(hidden)
+        logits = jnp.einsum("bnd,kd->bnk", hidden, self._out_books()[t],
+                            preferred_element_type=jnp.float32)
+        if self.cfg.apply_log_softmax:
+            logits = jax.nn.log_softmax(logits, axis=-1)
+        return logits, new_cache, kv_new
+
 
 def init_ripor_params(rng: jax.Array, cfg: RiporConfig, dtype=jnp.float32):
     """Initialize a parameter pytree with dummy shapes."""

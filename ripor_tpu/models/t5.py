@@ -344,6 +344,60 @@ class Decoder(nn.Module):
         kv_new = jnp.stack(kvnews, axis=2).reshape(B, N, -1)
         return self.final_norm(x), cache, kv_new
 
+    def init_cache_megarow(self, batch: int, num_beams: int, max_len: int,
+                           quantized: "bool | str" = False) -> jnp.ndarray:
+        """Beam-major K|V-merged cache [B, N, L, Mc, RW] for the megarow
+        decode path (ops/megarow.py): one beam's rows for ALL layers are
+        contiguous, so the per-step reorder moves them with a single DMA.
+        Same row widths/quant encoding as init_cache_merged."""
+        cfg = self.cfg
+        if quantized:
+            from ripor_tpu.ops.attend_reorder import SCALE_COLS
+            payload = (cfg.inner_dim if quantized == "int4"
+                       else 2 * cfg.inner_dim)
+            return jnp.zeros((batch, num_beams, cfg.num_decoder_layers,
+                              max_len, payload + SCALE_COLS), jnp.int8)
+        return jnp.zeros((batch, num_beams, cfg.num_decoder_layers,
+                          max_len, 2 * cfg.inner_dim), self.dtype)
+
+    def decode_step_megarow(self, x, cache_src, cache_dst, src, kvg,
+                            cross_kv: CrossKV, enc_bias, self_bias_full, t,
+                            ar_chunk=None):
+        """TPU decode step over the beam-major megarow cache: ONE all-layers
+        reorder kernel completes the deferred beam permutation (+ slot t-1
+        insert) up front, then each layer's attention streams its already
+        ordered rows sequentially (ops/megarow.py — descriptor-count
+        restructure of decode_step_deferred; same pending-reorder dataflow).
+
+        x: [B, N, d]; cache_src/cache_dst: [B, N, L, Mc, RW] ping-pong pair
+        (init_cache_megarow); src: [B, N] int32; kvg: [B, N, L*2F].
+        Returns (hidden, new_cache, kv_new [B, N, L*2F])."""
+        from ripor_tpu.ops.megarow import reorder_cache_all, step_attention_seq
+        cfg = self.cfg
+        B, N = x.shape[:2]
+        cache_len = cache_src.shape[3]
+        bias_row = jax.lax.dynamic_index_in_dim(self_bias_full, t, axis=1,
+                                                keepdims=False)[:, :cache_len]
+        key_pos = jnp.arange(cache_len)
+        bias_hist = (bias_row
+                     + jnp.where(key_pos < t, 0.0, NEG_INF)[None, :]).T
+        bias_new = jax.lax.dynamic_index_in_dim(
+            bias_row, t, axis=1, keepdims=False)[None, :]    # [1, H]
+        cache = reorder_cache_all(kvg, cache_src, cache_dst, src, t,
+                                  cfg.num_heads)
+        kvnews = []
+        for l, (layer, (enc_k, enc_v)) in enumerate(zip(self.layers, cross_kv)):
+            q, k, v = layer.step_qkv(x)
+            qf = q.reshape(B, N, -1)
+            kvf = jnp.concatenate([k.reshape(B, N, -1),
+                                   v.reshape(B, N, -1)], axis=-1)
+            attn = step_attention_seq(qf, kvf, cache, l, bias_hist, bias_new,
+                                      cfg.num_heads, chunk=ar_chunk)
+            x = layer.step_finish_with_attn(x, attn, enc_k, enc_v, enc_bias)
+            kvnews.append(kvf)
+        kv_new = jnp.stack(kvnews, axis=2).reshape(B, N, -1)
+        return self.final_norm(x), cache, kv_new
+
     def _decode_step_pallas(self, x, cache, cross_kv, enc_bias, bias_row,
                             key_pos, t):
         """TPU decode step: pallas step_attention_fused over the full cache

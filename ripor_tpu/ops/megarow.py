@@ -1,0 +1,440 @@
+"""Megarow decode path: all-layers beam reorder + sequential-read attention.
+
+The deferred kernel (ops/attend_reorder.py) is descriptor-latency-bound at
+production geometry: its gather reads issue ONE DMA per (layer, beam) row —
+B*N*L ~ 97k descriptors/step at batch 8 — and the measured ~188 ns/descriptor
+aggregate caps reads at ~95 GB/s while the grouped writeback runs ~310 GB/s
+(CLAUDE.md batch-8 int4 budget: reads+insert 18.2 ms of a 34.4 ms step).
+
+This module restructures the cache so the SAME bytes move in 12x fewer,
+12x larger descriptors:
+
+  cache layout: [B, N, L, Mc, RW]  (beam-major; one beam's rows for ALL
+  layers are contiguous — a single DMA moves ~344 KB at t5-base/int4)
+
+  kernel A  ``reorder_cache_all``  (once per step): gathers each current
+  beam's all-layer row block from ``cache_src`` by ``src``, inserts step
+  t-1's k/v (``kvg``, quantized here exactly once) at slot t-1 for every
+  layer, and writes the ordered slab to ``cache_dst`` — per-beam descriptors
+  both ways, bandwidth-bound instead of issue-bound.
+
+  kernel B  ``step_attention_seq``  (per layer): attention over the already
+  REORDERED cache — reads are sequential [wg, Mc, RW] strided blocks (no
+  gather, ~29-230 KB/descriptor), math identical to attend_reorder's but
+  with no slot-(t-1) special case (the insert already happened in kernel A).
+
+Total traffic rises from 2 cache passes/step to ~3 (kernel B re-reads what
+kernel A wrote), but every pass runs at parallel-DMA bandwidth rather than
+descriptor-issue latency. Numerics note: at step t the freshly inserted
+slot t-1 is read back QUANTIZED (attend_reorder uses the exact bf16 kvg for
+that one step) — one extra quantization-rounding on the newest slot, inside
+the validated int8/int4 error envelope.
+
+Reference analogue: same as ops/attend_reorder.py — the decoder
+self-attention step + _reorder_cache pair inside the beam loop
+(/root/reference/t5_pretrainer/tasks/generation.py:435-442,511-518).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ripor_tpu.ops.attend_reorder import (
+    SCALE_COLS, _quantize_rows, _quantize_rows_int4, _unpack_int4,
+    _VMEM_BUDGET, pick_chunk)
+
+# beams per reorder grid cell. Must divide the (chunkB-padded) beam count:
+# kernel B pads N to a multiple of its chunk (40 by default), and 8 | 40.
+# 8 in-flight ~344 KB reads (x2 buffers) saturate the parallel-DMA ceiling;
+# larger values only cost VMEM.
+REORDER_CHUNK = 8
+# beams per read descriptor in kernel B (contiguous [wg, Mc, RW] runs share
+# one strided descriptor; the beam stride is L*Mc*RW)
+SEQ_WG = 8
+
+
+def pick_layer_group(L: int, Mc: int, RW: int, isz: int) -> int:
+    """Largest divisor of L whose [2, REORDER_CHUNK, lg, Mc, RW] double row
+    buffer fits scoped VMEM (wide-row models split their layers into groups;
+    t5-base int4 fits all 12 layers in one 5.5 MB buffer)."""
+    for lg in sorted((d for d in range(1, L + 1) if L % d == 0),
+                     reverse=True):
+        if 2 * REORDER_CHUNK * lg * Mc * RW * isz <= _VMEM_BUDGET:
+            return lg
+    raise ValueError(
+        f"megarow reorder cannot fit a single-layer row chunk in VMEM "
+        f"(L={L}, Mc={Mc}, RW={RW}, itemsize={isz}); shrink cache segments")
+
+
+def _reorder_kernel(src_ref, tt_ref, kvg_ref, cache_ref, dst_ref,
+                    cache_out_ref, buf, isems, osems, *, num_heads: int,
+                    quant: "str | None", chunk: int, lg: int,
+                    pipelined: bool):
+    """Grid cell: gather ``chunk`` beams' [lg, Mc, RW] row blocks by src,
+    insert kvg at slot t-1, write the ordered slab back. Double-buffered
+    across cells exactly like attend_reorder._kernel."""
+    del dst_ref  # aliased to cache_out_ref's buffer
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    c = pl.program_id(2)
+    ng = pl.num_programs(1)
+    nc = pl.num_programs(2)
+    total = pl.num_programs(0) * ng * nc
+    t = tt_ref[0]
+    Mc = buf.shape[3]
+    i = (b * ng + g) * nc + c
+    cur = jax.lax.rem(i, 2)
+    nxt = 1 - cur
+
+    def issue_ins(b2, g2, c2, s2):
+        for j in range(chunk):
+            row = src_ref[b2, c2 * chunk + j]
+            pltpu.make_async_copy(
+                cache_ref.at[b2, row, pl.ds(g2 * lg, lg)],
+                buf.at[s2, j], isems.at[s2]).start()
+
+    def wait_ins(s2):
+        for j in range(chunk):
+            pltpu.make_async_copy(
+                cache_ref.at[b, src_ref[b, c * chunk + j], pl.ds(g * lg, lg)],
+                buf.at[s2, j], isems.at[s2]).wait()
+
+    def wait_outs(s2):
+        # reconstructed same-shaped descriptor (the wait consumes the
+        # semaphore by transfer size only)
+        pltpu.make_async_copy(
+            buf.at[s2],
+            cache_out_ref.at[b, pl.ds(c * chunk, chunk), pl.ds(g * lg, lg)],
+            osems.at[s2]).wait()
+
+    if pipelined:
+        @pl.when(i == 0)
+        def _prologue():
+            issue_ins(b, g, c, cur)
+
+        @pl.when(i >= 1)
+        def _retire_prev_outs():      # cell i-1's writeback used slot nxt
+            wait_outs(nxt)
+
+        @pl.when(i + 1 < total)
+        def _prefetch_next():
+            cwrap = c + 1 == nc
+            gwrap = jnp.logical_and(cwrap, g + 1 == ng)
+            b2 = jnp.where(gwrap, b + 1, b)
+            g2 = jnp.where(gwrap, 0, jnp.where(cwrap, g + 1, g))
+            c2 = jnp.where(cwrap, 0, c + 1)
+            issue_ins(b2, g2, c2, nxt)
+    else:
+        issue_ins(b, g, c, cur)
+
+    wait_ins(cur)
+    # complete the deferred reorder: slot t-1 := step t-1's k/v for every
+    # layer in this group (quantized caches quantize HERE, exactly once)
+    F2 = kvg_ref.shape[2] // lg
+    kvrows = kvg_ref[0].reshape(chunk * lg, F2)
+    if quant == "int4":
+        q4, epad = _quantize_rows_int4(kvrows, num_heads)
+        ins = jnp.concatenate([q4, epad], axis=1)
+    elif quant == "int8":
+        q8, epad = _quantize_rows(kvrows, num_heads)
+        ins = jnp.concatenate([q8, epad], axis=1)
+    else:
+        ins = kvrows
+    ins = ins.reshape(chunk, lg, 1, ins.shape[-1])
+    slot_m = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Mc, 1), 2)
+    buf[cur] = jnp.where(slot_m == t - 1, ins, buf[cur])
+    pltpu.make_async_copy(
+        buf.at[cur],
+        cache_out_ref.at[b, pl.ds(c * chunk, chunk), pl.ds(g * lg, lg)],
+        osems.at[cur]).start()
+    if pipelined:
+        @pl.when(i + 1 >= total)      # epilogue: retire the final slab
+        def _retire_last_outs():
+            wait_outs(cur)
+    else:
+        wait_outs(cur)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
+                                             "chunk", "lg"))
+def reorder_cache_all(kvg, cache_src, cache_dst, src, t, num_heads: int,
+                      interpret: bool = None, chunk: int = None,
+                      lg: int = None):
+    """Beam-reorder the ENTIRE megarow cache (all layers) in one pass.
+
+    kvg: [B, N, L*2F] step t-1's K|V for all layers, already permuted to
+    current beam order (layer-major rows, exact bf16/f32);
+    cache_src: [B, N, L, Mc, RW] ordered for the previous step's beams
+    (slots [0, t-1) valid); cache_dst: ping-pong partner (aliased output);
+    src: [B, N] int32 current-beam -> previous-row map.
+
+    Returns the reordered cache (cache_dst's buffer) with slot t-1
+    inserted for every layer. Quant mode is inferred from dtype + row
+    width exactly as in attend_reorder.step_attend_reorder.
+    """
+    if interpret is None:  # CPU tests run the kernel in interpret mode
+        interpret = jax.default_backend() != "tpu"
+    B, N, L, Mc, RW = cache_src.shape
+    F2 = kvg.shape[2] // L                     # 2F
+    if cache_src.dtype == jnp.int8:
+        quant = "int4" if RW == F2 // 2 + SCALE_COLS else "int8"
+    else:
+        quant = None
+    assert cache_dst.shape == cache_src.shape, cache_dst.shape
+    assert kvg.shape == (B, N, L * F2), kvg.shape
+    assert src.shape == (B, N), src.shape
+    if lg is None:
+        lg = pick_layer_group(L, Mc, RW, cache_src.dtype.itemsize)
+    if chunk is None:
+        chunk = REORDER_CHUNK
+    if N % chunk != 0:
+        pad = chunk - N % chunk
+        padded = reorder_cache_all(
+            jnp.pad(kvg, ((0, 0), (0, pad), (0, 0))),
+            jnp.pad(cache_src, ((0, 0), (0, pad)) + ((0, 0),) * 3),
+            jnp.pad(cache_dst, ((0, 0), (0, pad)) + ((0, 0),) * 3),
+            jnp.pad(src, ((0, 0), (0, pad))),
+            t, num_heads, interpret=interpret, chunk=chunk, lg=lg)
+        return padded[:, :N]
+
+    kernel = functools.partial(_reorder_kernel, num_heads=num_heads,
+                               quant=quant, chunk=chunk, lg=lg,
+                               pipelined=not interpret)
+    tt = jnp.asarray(t, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, L // lg, N // chunk),
+        in_specs=[
+            # kvg is [B, N, L*2F] layer-major: group g covers layers
+            # [g*lg, (g+1)*lg) = columns [g*lg*2F, ...) -> block index g
+            pl.BlockSpec((1, chunk, lg * F2),
+                         lambda b, g, c, s_, t_: (b, c, g)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, lg, Mc, RW), cache_src.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    new_cache = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(cache_src.shape, cache_src.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        # operands: (src, tt, kvg, cache_src, cache_dst=4)
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(src, tt, kvg, cache_src, cache_dst)
+    return new_cache
+
+
+# ---------------------------------------------------------------------------
+# kernel B: one-position attention over the reordered megarow cache
+# ---------------------------------------------------------------------------
+
+def _seq_math(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref, rows,
+              num_heads: int):
+    """Attention on VMEM rows [C, Mc, 2F] (K|V merged, slot t-1 already
+    inserted) with position t's k/v folded into the softmax. Same math as
+    attend_reorder._attn_math minus the kvg slot special-case; dots run at
+    the cache dtype (see that kernel's precision note). Returns [C, F] f32."""
+    C, F = q_ref.shape[1], q_ref.shape[2]
+    Mc = rows.shape[1]
+    H = num_heads
+    head_of = jax.lax.broadcasted_iota(jnp.int32, (F, H), 0) // (F // H)
+    head_mask = (head_of == jax.lax.broadcasted_iota(jnp.int32, (F, H), 1))
+    dot_dt = rows.dtype
+    hm = head_mask.astype(dot_dt)
+    qb = q_ref[0].astype(dot_dt)
+    k_hist = rows[:, :, :F]
+    v_hist = rows[:, :, F:]
+    kq = (k_hist * qb[:, None, :]).reshape(C * Mc, F)
+    s_hist = jax.lax.dot(kq.astype(dot_dt), hm,
+                         preferred_element_type=jnp.float32).reshape(C, Mc, H)
+    s_hist = s_hist + bias_hist_ref[...].astype(jnp.float32)[None]
+    kn = kvnew_ref[0][:, :F].astype(dot_dt) * qb
+    v_new = kvnew_ref[0][:, F:]
+    s_new = jax.lax.dot(kn, hm, preferred_element_type=jnp.float32)  # [C, H]
+    s_new = s_new + bias_new_ref[...].astype(jnp.float32)
+
+    scores = jnp.concatenate([s_hist, s_new[:, None, :]], axis=1)
+    probs = jax.nn.softmax(scores, axis=1)               # [C, Mc+1, H]
+    pe = jax.lax.dot(probs[:, :Mc].reshape(C * Mc, H).astype(dot_dt), hm.T,
+                     preferred_element_type=jnp.float32).reshape(C, Mc, F)
+    if dot_dt == jnp.float32:
+        out = (pe * v_hist.astype(jnp.float32)).sum(axis=1)
+    else:
+        out = jnp.sum(pe.astype(dot_dt) * v_hist, axis=1, dtype=jnp.float32)
+    pn = jax.lax.dot(probs[:, Mc].astype(dot_dt), hm.T,
+                     preferred_element_type=jnp.float32)             # [C, F]
+    return out + pn * v_new.astype(jnp.float32)
+
+
+def _seq_math_quant(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref, rows,
+                    num_heads: int, quant: str):
+    """_seq_math for int8/int4 rows [C, Mc, RW]: uniform per-(slot, head)
+    power-of-2 dequantization (every slot incl. the fresh t-1 is quantized —
+    see module numerics note). Mirrors attend_reorder._attn_math_q8/_q4's
+    uniform paths. Returns [C, F] f32."""
+    C, F = q_ref.shape[1], q_ref.shape[2]
+    Mc = rows.shape[1]
+    H = num_heads
+    head_of = jax.lax.broadcasted_iota(jnp.int32, (F, H), 0) // (F // H)
+    head_mask = (head_of == jax.lax.broadcasted_iota(jnp.int32, (F, H), 1))
+    hm = head_mask.astype(jnp.bfloat16)
+
+    if quant == "int4":
+        k8, v8 = _unpack_int4(rows[:, :, :F])            # bf16 planes
+        ef = rows[:, :, F:].astype(jnp.float32)          # [C, Mc, SCALE_COLS]
+    else:
+        k8 = rows[:, :, :F].astype(jnp.bfloat16)         # exact int8->bf16
+        v8 = rows[:, :, F:2 * F].astype(jnp.bfloat16)
+        ef = rows[:, :, 2 * F:].astype(jnp.float32)
+    ek = jnp.exp2(ef[:, :, :H])                          # [C, Mc, H]
+    ev = jnp.exp2(ef[:, :, H:2 * H])
+
+    qb = q_ref[0].astype(jnp.bfloat16)
+    kq = (k8 * qb[:, None, :]).reshape(C * Mc, F)
+    s_hist = jax.lax.dot(kq, hm,
+                         preferred_element_type=jnp.float32).reshape(C, Mc, H)
+    s_hist = s_hist * ek
+    s_hist = s_hist + bias_hist_ref[...].astype(jnp.float32)[None]
+
+    k_new = kvnew_ref[0][:, :F].astype(jnp.bfloat16)
+    v_new = kvnew_ref[0][:, F:]
+    s_new = jax.lax.dot(k_new * qb, hm,
+                        preferred_element_type=jnp.float32)          # [C, H]
+    s_new = s_new + bias_new_ref[...].astype(jnp.float32)
+
+    scores = jnp.concatenate([s_hist, s_new[:, None, :]], axis=1)
+    probs = jax.nn.softmax(scores, axis=1)               # [C, Mc+1, H]
+    # fold the per-(slot, head) V scale into probs pre-expansion
+    ps = probs[:, :Mc] * ev
+    pe = jax.lax.dot(ps.reshape(C * Mc, H).astype(jnp.bfloat16), hm.T,
+                     preferred_element_type=jnp.float32).reshape(C, Mc, F)
+    out = jnp.sum(pe.astype(jnp.bfloat16) * v8, axis=1, dtype=jnp.float32)
+    pn = jax.lax.dot(probs[:, Mc].astype(jnp.bfloat16), hm.T,
+                     preferred_element_type=jnp.float32)             # [C, F]
+    return out + pn * v_new.astype(jnp.float32)
+
+
+def _seq_kernel(lt_ref, q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
+                cache_ref, attn_ref, buf, isems, *, num_heads: int,
+                quant: "str | None", chunk: int, wg: int, pipelined: bool):
+    """Grid cell: stream this layer's [chunk, Mc, RW] reordered rows in
+    wg-beam strided descriptors (double-buffered across cells), then run
+    the attention math."""
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+    total = pl.num_programs(0) * nc
+    l = lt_ref[0]
+    i = b * nc + c
+    cur = jax.lax.rem(i, 2)
+    nxt = 1 - cur
+
+    def issue_ins(b2, c2, s2):
+        for j in range(0, chunk, wg):
+            pltpu.make_async_copy(
+                cache_ref.at[b2, pl.ds(c2 * chunk + j, wg), l],
+                buf.at[s2, pl.ds(j, wg)], isems.at[s2]).start()
+
+    def wait_ins(s2):
+        for j in range(0, chunk, wg):
+            pltpu.make_async_copy(
+                cache_ref.at[b, pl.ds(c * chunk + j, wg), l],
+                buf.at[s2, pl.ds(j, wg)], isems.at[s2]).wait()
+
+    if pipelined:
+        @pl.when(i == 0)
+        def _prologue():
+            issue_ins(b, c, cur)
+
+        @pl.when(i + 1 < total)
+        def _prefetch_next():
+            wrap = c + 1 == nc
+            b2 = jnp.where(wrap, b + 1, b)
+            c2 = jnp.where(wrap, 0, c + 1)
+            issue_ins(b2, c2, nxt)
+    else:
+        issue_ins(b, c, cur)
+
+    wait_ins(cur)
+    rows = buf[cur]
+    if quant:
+        out = _seq_math_quant(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
+                              rows, num_heads, quant)
+    else:
+        out = _seq_math(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
+                        rows, num_heads)
+    attn_ref[0] = out.astype(attn_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
+                                             "chunk", "wg"))
+def step_attention_seq(q, kv_new, cache, layer, bias_hist, bias_new,
+                       num_heads: int, interpret: bool = None,
+                       chunk: int = None, wg: int = None):
+    """One-position cached self-attention over the REORDERED megarow cache.
+
+    q: [B, N, F]; kv_new: [B, N, 2F] position-t K|V (current beams, not in
+    cache); cache: [B, N, L, Mc, RW] with slots [0, t) valid and already in
+    current beam order (reorder_cache_all ran first this step);
+    layer: scalar int32; bias_hist: [Mc, H] f32 (slots >= t masked);
+    bias_new: [1, H] f32. Returns attention output [B, N, F].
+    """
+    if interpret is None:  # CPU tests run the kernel in interpret mode
+        interpret = jax.default_backend() != "tpu"
+    B, N, F = q.shape
+    _, _, L, Mc, RW = cache.shape
+    if cache.dtype == jnp.int8:
+        quant = "int4" if RW == F + SCALE_COLS else "int8"
+    else:
+        quant = None
+    assert kv_new.shape == (B, N, 2 * F), kv_new.shape
+    if chunk is None:
+        chunk = pick_chunk(Mc, RW, cache.dtype.itemsize)
+    if wg is None:
+        wg = SEQ_WG if chunk % SEQ_WG == 0 else 1
+    if N % chunk != 0:
+        pad = chunk - N % chunk
+        attn = step_attention_seq(
+            jnp.pad(q, ((0, 0), (0, pad), (0, 0))),
+            jnp.pad(kv_new, ((0, 0), (0, pad), (0, 0))),
+            jnp.pad(cache, ((0, 0), (0, pad)) + ((0, 0),) * 3),
+            layer, bias_hist, bias_new, num_heads,
+            interpret=interpret, chunk=chunk, wg=wg)
+        return attn[:, :N]
+
+    kernel = functools.partial(_seq_kernel, num_heads=num_heads, quant=quant,
+                               chunk=chunk, wg=wg, pipelined=not interpret)
+    lt = jnp.asarray(layer, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, N // chunk),
+        in_specs=[
+            pl.BlockSpec((1, chunk, F), lambda b, c, l_: (b, c, 0)),
+            pl.BlockSpec((1, chunk, 2 * F), lambda b, c, l_: (b, c, 0)),
+            pl.BlockSpec((Mc, num_heads), lambda b, c, l_: (0, 0)),
+            pl.BlockSpec((1, num_heads), lambda b, c, l_: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, F), lambda b, c, l_: (b, c, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, Mc, RW), cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, F), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(lt, q, kv_new, bias_hist, bias_new, cache)

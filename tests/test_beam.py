@@ -399,3 +399,75 @@ def test_unconstrained_beam_search_runs():
                       trie=None, num_beams=4, dtype=jnp.float32)
     assert out.codes.shape == (2, 4, 4)
     assert (out.scores > -1e29).all()
+
+
+def test_megarow_matches_xla_path():
+    """The megarow path (ops/megarow.py in interpret mode: one all-layers
+    reorder kernel + per-layer sequential-read attention) must reproduce
+    the XLA path's scores/codes exactly for an exact-dtype cache."""
+    from ripor_tpu.decode.beam import make_beam_search_fn
+    from ripor_tpu.trie.succinct import succinct_tables
+
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=6, K=8, n_docs=40)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+    ref_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                                 use_pallas_gather=False, deferred=False)
+    mr_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                                use_pallas_gather=False, megarow=True,
+                                cache_segments=3)  # spans 2/2/2
+    s0, c0, st0 = ref_fn(params, ids, mask, tables)
+    s1, c1, st1 = mr_fn(params, ids, mask, tables)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
+
+
+def test_megarow_int8_close_to_xla_path():
+    """Megarow over an int8 cache: like kvg_quant_xla mode, the freshly
+    inserted slot t-1 is read back quantized at step t, so the wider
+    tolerance applies; the written rows themselves are identical to the
+    deferred kernel's."""
+    from ripor_tpu.decode.beam import make_beam_search_fn
+    from ripor_tpu.trie.succinct import succinct_tables
+
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=6, K=8, n_docs=40)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+    ref_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                                 use_pallas_gather=False, deferred=False)
+    q8_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                                use_pallas_gather=False, megarow=True,
+                                cache_segments=3, kv_cache_int8=True)
+    s0, c0, st0 = ref_fn(params, ids, mask, tables)
+    s1, c1, st1 = q8_fn(params, ids, mask, tables)
+    s0, s1 = np.asarray(s0), np.asarray(s1)
+    live = s0 > -1e29
+    np.testing.assert_allclose(s1[live], s0[live], rtol=0.05, atol=0.25)
+    np.testing.assert_array_equal(np.asarray(c0)[:, 0], np.asarray(c1)[:, 0])
+
+
+def test_megarow_int4_retrieval_robust():
+    """Packed-int4 megarow cache e2e vs the exact XLA path — same code-set
+    gates as test_deferred_int4_cache_retrieval_robust (int4's ~7%/element
+    error makes positional score comparison meaningless on a random-init
+    model)."""
+    from ripor_tpu.decode.beam import make_beam_search_fn
+    from ripor_tpu.trie.succinct import succinct_tables
+
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=6, K=8, n_docs=40)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+    ref_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                                 use_pallas_gather=False, deferred=False)
+    q4_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                                use_pallas_gather=False, megarow=True,
+                                cache_segments=3, kv_cache_quant="int4")
+    s0, c0, st0 = ref_fn(params, ids, mask, tables)
+    s1, c1, st1 = q4_fn(params, ids, mask, tables)
+    s0, s1 = np.asarray(s0), np.asarray(s1)
+    c0, c1 = np.asarray(c0), np.asarray(c1)
+    np.testing.assert_array_equal(c0[:, 0], c1[:, 0])
+    for b in range(s0.shape[0]):
+        set0 = {tuple(r) for r, sc in zip(c0[b], s0[b]) if sc > -1e29}
+        set1 = {tuple(r) for r, sc in zip(c1[b], s1[b]) if sc > -1e29}
+        assert len(set0 & set1) >= min(len(set0), len(set1)) - 1, \
+            (b, set0, set1)

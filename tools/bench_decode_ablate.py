@@ -78,7 +78,8 @@ def main():
     def run_variant(name, constrained=True, segments=4, attn=None,
                     reorder=None, topk=None, kernel=None, sar=None,
                     chunk=None, deferred=None, bgr=None, finish=None,
-                    ar_math=None):
+                    ar_math=None, megarow=False, mr_reorder=None,
+                    mr_attn=None, mr_math=None, mr_quant4=None):
         import ripor_tpu.ops.beam_gather as bg_mod
         from ripor_tpu.models.t5 import DecoderLayer
         sa_mod.step_attention_fused = attn or real_attn
@@ -91,6 +92,11 @@ def main():
         DecoderLayer.step_finish_with_attn = finish or real_finish
         ar_mod._attn_math_q8 = ar_math or real_math_q8
         ar_mod._attn_math = ar_math or real_math
+        mr_mod.reorder_cache_all = mr_reorder or real_mr_reorder
+        mr_mod.step_attention_seq = mr_attn or real_mr_attn
+        mr_mod._seq_math = mr_math or real_seq_math
+        mr_mod._seq_math_quant = mr_math or real_seq_math_q
+        mr_mod._quantize_rows_int4 = mr_quant4 or real_mr_q4
         if topk is not None:
             jax.lax.top_k = topk
         jax.clear_caches()  # step_attention_fused is @jit: force a retrace
@@ -102,7 +108,8 @@ def main():
             fn = beam_mod.make_beam_search_fn(
                 cfg, num_beams, constrained=constrained,
                 dtype=jnp.bfloat16, cache_segments=segments,
-                deferred=deferred, kv_cache_quant=quant or None)
+                deferred=deferred, kv_cache_quant=quant or None,
+                megarow=megarow)
             t0 = time.time()
             s, c, st = fn(params, ids, mask, tables)
             np.asarray(s)
@@ -128,6 +135,11 @@ def main():
             ar_mod._attn_math = real_math
             bg_mod.beam_gather_rows = real_bgr
             DecoderLayer.step_finish_with_attn = real_finish
+            mr_mod.reorder_cache_all = real_mr_reorder
+            mr_mod.step_attention_seq = real_mr_attn
+            mr_mod._seq_math = real_seq_math
+            mr_mod._seq_math_quant = real_seq_math_q
+            mr_mod._quantize_rows_int4 = real_mr_q4
             jax.lax.top_k = real_topk
 
     def fake_attn(q, k_new, v_new, cache, layer, bias_hist, bias_new,
@@ -181,11 +193,37 @@ def main():
         return q, cache_dst
 
     import ripor_tpu.ops.beam_gather as bg_mod
+    import ripor_tpu.ops.megarow as mr_mod
     real_bgr = bg_mod.beam_gather_rows
     from ripor_tpu.models.t5 import DecoderLayer
     real_finish = DecoderLayer.step_finish_with_attn
     real_math_q8 = ar_mod._attn_math_q8
     real_math = ar_mod._attn_math
+    real_mr_reorder = mr_mod.reorder_cache_all
+    real_mr_attn = mr_mod.step_attention_seq
+    real_seq_math = mr_mod._seq_math
+    real_seq_math_q = mr_mod._seq_math_quant
+    real_mr_q4 = mr_mod._quantize_rows_int4
+
+    def fake_mr_reorder(kvg, cache_src, cache_dst, src, t, num_heads, **kw):
+        return cache_dst  # skip kernel A entirely (wrong data, same shapes)
+
+    def fake_mr_attn(q, kv_new, cache, layer, bias_hist, bias_new,
+                     num_heads, **kw):
+        return q  # skip kernel B entirely
+
+    def stub_seq_math(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref, rows,
+                      num_heads, quant=None):
+        # keep kernel B's row DMAs, skip its attention math
+        red = rows[:, 0, :q_ref.shape[2]].astype(jnpk.float32)
+        return q_ref[0].astype(jnpk.float32) + red * 1e-6
+
+    def stub_q4(x, num_heads):
+        # skip kernel A's in-VMEM quantize compute (insert garbage zeros)
+        C, F2 = x.shape
+        from ripor_tpu.ops.attend_reorder import SCALE_COLS
+        return (jnpk.zeros((C, F2 // 2), jnpk.int8),
+                jnpk.zeros((C, SCALE_COLS), jnpk.int8))
 
     def stub_math(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
                   buf, t, num_heads):
@@ -226,6 +264,14 @@ def main():
         ("def_no_kvgather", dict(bgr=fake_bgr)),
         ("def_no_ffn", dict(finish=fake_finish)),
         ("def_math_stub", dict(ar_math=stub_math)),
+        # megarow path (ops/megarow.py) attribution
+        ("mr_full", dict(megarow=True)),
+        ("mr_no_reorder", dict(megarow=True, mr_reorder=fake_mr_reorder)),
+        ("mr_no_attn", dict(megarow=True, mr_attn=fake_mr_attn)),
+        ("mr_math_stub", dict(megarow=True, mr_math=stub_seq_math)),
+        ("mr_quant_stub", dict(megarow=True, mr_quant4=stub_q4)),
+        ("mr_no_kvgather", dict(megarow=True, bgr=fake_bgr)),
+        ("mr_no_ffn", dict(megarow=True, finish=fake_finish)),
     ]
     results = {}
     for name, kw in variants:
