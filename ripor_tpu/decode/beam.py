@@ -268,13 +268,18 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             f"(bounds {bounds}) are not all even — adjust cache_segments")
     if kvg_quant_xla is None:
         import os
-        kvg_quant_xla = (kv_cache_int8
-                         and os.environ.get("RIPOR_KVG_XLA", "0") == "1")
-    assert not kvg_quant_xla or kv_cache_int8, \
-        "kvg_quant_xla only applies to the int8 cache"
-    if megarow and kvg_quant_xla:
-        raise ValueError("megarow quantizes kvg in its reorder kernel; "
-                         "kvg_quant_xla does not apply")
+        if megarow:
+            # megarow: quantize-then-gather is bit-identical to the
+            # in-kernel insert (quantization commutes with the row gather
+            # and megarow reads slot t-1 from the cache either way) and
+            # moves 2-4x fewer kvg bytes
+            kvg_quant_xla = (quant is not None and os.environ.get(
+                "RIPOR_MR_KVG_XLA", "0") == "1")
+        else:
+            kvg_quant_xla = (kv_cache_int8
+                             and os.environ.get("RIPOR_KVG_XLA", "0") == "1")
+    assert not kvg_quant_xla or kv_cache_int8 or (megarow and quant), \
+        "kvg_quant_xla needs a quantized cache"
     # The deferred kernel moves whole beam-row chunks; pad the beam axis
     # ONCE to a CHUNK multiple and kill ranks >= N every step (exact
     # width-N semantics) — the kernel's per-call pad fallback would copy
@@ -402,7 +407,21 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             new_scores, new_state, tok, codes, src = select(
                 beam_scores, state, codes, logits, t)
             if write_back:
-                kvg = beam_gather_rows(kv_new, src)
+                if kvg_quant_xla:
+                    # quantize BEFORE the gather (bit-identical inserts —
+                    # see make_beam_search_fn docstring) so the kvg gather
+                    # moves cache-layout int8/int4 rows
+                    from ripor_tpu.ops.attend_reorder import (
+                        quantize_rows_xla, quantize_rows_xla_int4)
+                    qfn = (quantize_rows_xla_int4 if quant == "int4"
+                           else quantize_rows_xla)
+                    b_, n_ = kv_new.shape[:2]
+                    kvq = qfn(kv_new.reshape(
+                        b_, n_, cfg.t5.num_decoder_layers, -1),
+                        cfg.t5.num_heads).reshape(b_, n_, -1)
+                    kvg = beam_gather_rows(kvq, src)
+                else:
+                    kvg = beam_gather_rows(kv_new, src)
             return new_scores, new_state, tok, codes, new_cache, src, kvg
 
         def step(carry, t):

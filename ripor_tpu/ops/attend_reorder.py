@@ -192,6 +192,36 @@ def quantize_rows_xla(x, num_heads: int):
     return jnp.concatenate([q8, jnp.pad(e8, pad)], axis=-1)
 
 
+def quantize_rows_xla_int4(x, num_heads: int):
+    """XLA-side batched mirror of ``_quantize_rows_int4``: [..., 2F] ->
+    [..., F + SCALE_COLS] int8 packed rows (identical encoding: per-head
+    power-of-2 scales e = ceil(log2(absmax/7)), nibbles offset by +8, K in
+    the low nibble / V in the high, then the exponent tail). Quantization
+    commutes with the beam gather, so running it once per step before the
+    gather (megarow path) moves 4x fewer kvg bytes with bit-identical
+    inserted rows."""
+    H = num_heads
+    lead, F2 = x.shape[:-1], x.shape[-1]
+    F = F2 // 2
+    D = F // H
+
+    def quant_half(xh):                      # [..., F] -> int32 in [0, 15]
+        xg = xh.reshape(*lead, H, D).astype(jnp.float32)
+        am = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
+        e = jnp.ceil(jnp.log2(jnp.maximum(am, 1e-30) / 7.0))
+        e = jnp.clip(e, -100.0, 100.0)
+        q = jnp.clip(jnp.round(xg * jnp.exp2(-e)), -8, 7)
+        return (q.astype(jnp.int32) + _INT4_OFFSET).reshape(*lead, F), \
+            e[..., 0].astype(jnp.int8)       # [..., H]
+    qk, ek = quant_half(x[..., :F])
+    qv, ev = quant_half(x[..., F:])
+    p = qk | (qv << 4)
+    packed = jnp.where(p >= 128, p - 256, p).astype(jnp.int8)
+    e8 = jnp.concatenate([ek, ev], axis=-1)  # [..., 2H]
+    pad = [(0, 0)] * len(lead) + [(0, SCALE_COLS - 2 * H)]
+    return jnp.concatenate([packed, jnp.pad(e8, pad)], axis=-1)
+
+
 def _attn_math_q8(q_ref, kvnew_ref, kvg_ref, bias_hist_ref, bias_new_ref,
                   buf, t, num_heads: int):
     """_attn_math for int8 cache rows [C, Mc, 2F+SCALE_COLS]: dequantize

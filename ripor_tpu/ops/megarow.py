@@ -47,14 +47,19 @@ from ripor_tpu.ops.attend_reorder import (
     SCALE_COLS, _quantize_rows, _quantize_rows_int4, _unpack_int4,
     _VMEM_BUDGET, pick_chunk)
 
+import os
+
 # beams per reorder grid cell. Must divide the (chunkB-padded) beam count:
 # kernel B pads N to a multiple of its chunk (40 by default), and 8 | 40.
 # 8 in-flight ~344 KB reads (x2 buffers) saturate the parallel-DMA ceiling;
 # larger values only cost VMEM.
-REORDER_CHUNK = 8
+REORDER_CHUNK = int(os.environ.get("RIPOR_MR_CHUNK", "8"))
 # beams per read descriptor in kernel B (contiguous [wg, Mc, RW] runs share
-# one strided descriptor; the beam stride is L*Mc*RW)
-SEQ_WG = 8
+# one strided descriptor; the beam stride is L*Mc*RW). 0 = whole chunk.
+SEQ_WG = int(os.environ.get("RIPOR_MR_WG", "8"))
+# kernel B read mode: "manual" (explicit double-buffered DMAs) or "stream"
+# (BlockSpec auto-pipelining, as step_attention_fused does)
+SEQ_MODE = os.environ.get("RIPOR_MR_SEQ", "manual")
 
 
 def pick_layer_group(L: int, Mc: int, RW: int, isz: int) -> int:
@@ -72,7 +77,7 @@ def pick_layer_group(L: int, Mc: int, RW: int, isz: int) -> int:
 
 def _reorder_kernel(src_ref, tt_ref, kvg_ref, cache_ref, dst_ref,
                     cache_out_ref, buf, isems, osems, *, num_heads: int,
-                    quant: "str | None", chunk: int, lg: int,
+                    quant: "str | None", kvg_pre: bool, chunk: int, lg: int,
                     pipelined: bool):
     """Grid cell: gather ``chunk`` beams' [lg, Mc, RW] row blocks by src,
     insert kvg at slot t-1, write the ordered slab back. Double-buffered
@@ -136,7 +141,9 @@ def _reorder_kernel(src_ref, tt_ref, kvg_ref, cache_ref, dst_ref,
     # layer in this group (quantized caches quantize HERE, exactly once)
     F2 = kvg_ref.shape[2] // lg
     kvrows = kvg_ref[0].reshape(chunk * lg, F2)
-    if quant == "int4":
+    if kvg_pre:
+        ins = kvrows       # pre-quantized cache-layout rows: insert verbatim
+    elif quant == "int4":
         q4, epad = _quantize_rows_int4(kvrows, num_heads)
         ins = jnp.concatenate([q4, epad], axis=1)
     elif quant == "int8":
@@ -179,13 +186,18 @@ def reorder_cache_all(kvg, cache_src, cache_dst, src, t, num_heads: int,
     if interpret is None:  # CPU tests run the kernel in interpret mode
         interpret = jax.default_backend() != "tpu"
     B, N, L, Mc, RW = cache_src.shape
-    F2 = kvg.shape[2] // L                     # 2F
-    if cache_src.dtype == jnp.int8:
-        quant = "int4" if RW == F2 // 2 + SCALE_COLS else "int8"
+    # pre-quantized kvg (quantize_rows_xla{,_int4} ran before the gather)
+    # arrives in cache-row layout and is inserted verbatim
+    kvg_pre = kvg.dtype == jnp.int8
+    assert not kvg_pre or cache_src.dtype == jnp.int8, \
+        "int8 kvg rows need a quantized cache"
+    krow = RW if kvg_pre else kvg.shape[2] // L       # per-layer row width
+    if cache_src.dtype == jnp.int8 and not kvg_pre:
+        quant = "int4" if RW == krow // 2 + SCALE_COLS else "int8"
     else:
         quant = None
     assert cache_dst.shape == cache_src.shape, cache_dst.shape
-    assert kvg.shape == (B, N, L * F2), kvg.shape
+    assert kvg.shape == (B, N, L * krow), kvg.shape
     assert src.shape == (B, N), src.shape
     if lg is None:
         lg = pick_layer_group(L, Mc, RW, cache_src.dtype.itemsize)
@@ -202,16 +214,16 @@ def reorder_cache_all(kvg, cache_src, cache_dst, src, t, num_heads: int,
         return padded[:, :N]
 
     kernel = functools.partial(_reorder_kernel, num_heads=num_heads,
-                               quant=quant, chunk=chunk, lg=lg,
-                               pipelined=not interpret)
+                               quant=quant, kvg_pre=kvg_pre, chunk=chunk,
+                               lg=lg, pipelined=not interpret)
     tt = jnp.asarray(t, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, L // lg, N // chunk),
         in_specs=[
-            # kvg is [B, N, L*2F] layer-major: group g covers layers
-            # [g*lg, (g+1)*lg) = columns [g*lg*2F, ...) -> block index g
-            pl.BlockSpec((1, chunk, lg * F2),
+            # kvg is [B, N, L*krow] layer-major: group g covers layers
+            # [g*lg, (g+1)*lg) = columns [g*lg*krow, ...) -> block index g
+            pl.BlockSpec((1, chunk, lg * krow),
                          lambda b, g, c, s_, t_: (b, c, g)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -377,6 +389,21 @@ def _seq_kernel(lt_ref, q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
     attn_ref[0] = out.astype(attn_ref.dtype)
 
 
+def _seq_kernel_stream(lt_ref, q_ref, kvnew_ref, bias_hist_ref,
+                       bias_new_ref, rows_ref, attn_ref, *, num_heads: int,
+                       quant: "str | None"):
+    """BlockSpec-streaming variant: the pallas pipeline DMAs this layer's
+    [1, chunk, 1, Mc, RW] block (double-buffered across cells) — same math."""
+    rows = rows_ref[0, :, 0]
+    if quant:
+        out = _seq_math_quant(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
+                              rows, num_heads, quant)
+    else:
+        out = _seq_math(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
+                        rows, num_heads)
+    attn_ref[0] = out.astype(attn_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
                                              "chunk", "wg"))
 def step_attention_seq(q, kv_new, cache, layer, bias_hist, bias_new,
@@ -402,7 +429,8 @@ def step_attention_seq(q, kv_new, cache, layer, bias_hist, bias_new,
     if chunk is None:
         chunk = pick_chunk(Mc, RW, cache.dtype.itemsize)
     if wg is None:
-        wg = SEQ_WG if chunk % SEQ_WG == 0 else 1
+        wg = SEQ_WG or chunk
+        wg = wg if chunk % wg == 0 else 1
     if N % chunk != 0:
         pad = chunk - N % chunk
         attn = step_attention_seq(
@@ -413,9 +441,32 @@ def step_attention_seq(q, kv_new, cache, layer, bias_hist, bias_new,
             interpret=interpret, chunk=chunk, wg=wg)
         return attn[:, :N]
 
+    lt = jnp.asarray(layer, jnp.int32).reshape(1)
+    if SEQ_MODE == "stream" and not interpret:
+        kernel = functools.partial(_seq_kernel_stream, num_heads=num_heads,
+                                   quant=quant)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, N // chunk),
+            in_specs=[
+                pl.BlockSpec((1, chunk, F), lambda b, c, l_: (b, c, 0)),
+                pl.BlockSpec((1, chunk, 2 * F), lambda b, c, l_: (b, c, 0)),
+                pl.BlockSpec((Mc, num_heads), lambda b, c, l_: (0, 0)),
+                pl.BlockSpec((1, num_heads), lambda b, c, l_: (0, 0)),
+                pl.BlockSpec((1, chunk, 1, Mc, RW),
+                             lambda b, c, l_: (b, c, l_[0], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, chunk, F), lambda b, c, l_: (b, c, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, N, F), q.dtype),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(lt, q, kv_new, bias_hist, bias_new, cache)
+
     kernel = functools.partial(_seq_kernel, num_heads=num_heads, quant=quant,
                                chunk=chunk, wg=wg, pipelined=not interpret)
-    lt = jnp.asarray(layer, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, N // chunk),

@@ -471,3 +471,45 @@ def test_megarow_int4_retrieval_robust():
         set1 = {tuple(r) for r, sc in zip(c1[b], s1[b]) if sc > -1e29}
         assert len(set0 & set1) >= min(len(set0), len(set1)) - 1, \
             (b, set0, set1)
+
+
+def test_quantize_rows_xla_int4_matches_kernel_quantizer():
+    """quantize_rows_xla_int4 (megarow pre-gather quantize) must be
+    bit-identical to the in-kernel _quantize_rows_int4 per row."""
+    from ripor_tpu.ops.attend_reorder import (_quantize_rows_int4,
+                                              quantize_rows_xla_int4)
+    rng = np.random.default_rng(7)
+    H, D = 3, 8
+    F = H * D
+    x = jnp.asarray(rng.standard_normal((4, 6, 2 * F)) * 3, jnp.float32)
+    got = np.asarray(quantize_rows_xla_int4(x, H))
+    for b in range(4):
+        q4, epad = _quantize_rows_int4(x[b], H)
+        want = np.concatenate([np.asarray(q4), np.asarray(epad)], axis=1)
+        np.testing.assert_array_equal(got[b], want)
+
+
+def test_megarow_kvg_xla_bit_identical():
+    """megarow + kvg_quant_xla (quantize-then-gather) must produce EXACTLY
+    the same scores/codes as megarow's in-kernel quantize: quantization
+    commutes with the row gather and megarow reads slot t-1 from the cache
+    in both modes."""
+    from ripor_tpu.decode.beam import make_beam_search_fn
+    from ripor_tpu.trie.succinct import succinct_tables
+
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=6, K=8, n_docs=40)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+    a_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                               use_pallas_gather=False, megarow=True,
+                               cache_segments=3, kv_cache_quant="int4",
+                               kvg_quant_xla=False)
+    b_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                               use_pallas_gather=False, megarow=True,
+                               cache_segments=3, kv_cache_quant="int4",
+                               kvg_quant_xla=True)
+    s0, c0, st0 = a_fn(params, ids, mask, tables)
+    s1, c1, st1 = b_fn(params, ids, mask, tables)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                               rtol=1e-6, atol=1e-6)

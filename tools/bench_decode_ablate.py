@@ -272,6 +272,8 @@ def main():
         ("mr_quant_stub", dict(megarow=True, mr_quant4=stub_q4)),
         ("mr_no_kvgather", dict(megarow=True, bgr=fake_bgr)),
         ("mr_no_ffn", dict(megarow=True, finish=fake_finish)),
+        ("mr_no_kernels", dict(megarow=True, mr_reorder=fake_mr_reorder,
+                               mr_attn=fake_mr_attn)),
     ]
     results = {}
     for name, kw in variants:
