@@ -105,9 +105,13 @@ def main():
     # jnp.pad (which holds old+new ping-pong pairs alive simultaneously)
     # disappears — that transient is what OOMs batch 16 at beam 1000.
     segments = int(os.environ.get("BENCH_SEGMENTS", 4))
+    # megarow (ops/megarow.py) is the measured-best decode path on v5e:
+    # 7.86 qps vs 7.16-7.34 for the per-layer deferred kernel at the
+    # default config (BENCH_MEGAROW=0 to compare against the old path)
+    megarow = os.environ.get("BENCH_MEGAROW", "1") == "1"
     run = make_beam_search_fn(cfg, num_beams, constrained=True,
                               dtype=jnp.bfloat16, kv_cache_quant=quant,
-                              cache_segments=segments)
+                              cache_segments=segments, megarow=megarow)
 
     # warmup / compile. NOTE: block_until_ready does not synchronize through
     # this image's remote-execution relay — np.asarray (host transfer) is the

@@ -302,7 +302,8 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             # single-layer group overflows) and keep Np a multiple of the
             # reorder chunk too (8 | pick_chunk's multiples of 8)
             from ripor_tpu.ops.megarow import pick_layer_group
-            pick_layer_group(cfg.t5.num_decoder_layers, bufs[-1], rw, isz)
+            pick_layer_group(cfg.t5.num_decoder_layers, bufs[-1], rw, isz,
+                             f2=0 if kvg_quant_xla else 2 * cfg.t5.inner_dim)
 
     @jax.jit
     def run(params, input_ids, attention_mask, tables):

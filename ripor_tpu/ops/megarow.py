@@ -55,20 +55,33 @@ import os
 # larger values only cost VMEM.
 REORDER_CHUNK = int(os.environ.get("RIPOR_MR_CHUNK", "8"))
 # beams per read descriptor in kernel B (contiguous [wg, Mc, RW] runs share
-# one strided descriptor; the beam stride is L*Mc*RW). 0 = whole chunk.
-SEQ_WG = int(os.environ.get("RIPOR_MR_WG", "8"))
+# one strided descriptor; the beam stride is L*Mc*RW). 0 = whole chunk —
+# the measured best (7.57 vs 7.41 qps at wg=8, b8/beam1000/int4)
+SEQ_WG = int(os.environ.get("RIPOR_MR_WG", "0"))
 # kernel B read mode: "manual" (explicit double-buffered DMAs) or "stream"
 # (BlockSpec auto-pipelining, as step_attention_fused does)
 SEQ_MODE = os.environ.get("RIPOR_MR_SEQ", "manual")
 
 
-def pick_layer_group(L: int, Mc: int, RW: int, isz: int) -> int:
-    """Largest divisor of L whose [2, REORDER_CHUNK, lg, Mc, RW] double row
-    buffer fits scoped VMEM (wide-row models split their layers into groups;
-    t5-base int4 fits all 12 layers in one 5.5 MB buffer)."""
+# revolving-buffer depth in the reorder kernel: reads for NSLOTS-1 cells
+# stay in flight (the 2-slot version measured 293 GB/s combined vs the 433
+# ceiling — not enough DMA depth at 8 descriptors/cell)
+NSLOTS = int(os.environ.get("RIPOR_MR_NSLOTS", "4"))
+
+
+def pick_layer_group(L: int, Mc: int, RW: int, isz: int,
+                     f2: int = 0) -> int:
+    """Largest divisor of L whose [NSLOTS, REORDER_CHUNK, lg, Mc, RW]
+    revolving row buffer PLUS the in-kernel quantize's f32 temporaries
+    (~9 live copies of the [chunk*lg, f2] kvg rows — calibrated against a
+    measured Mosaic scoped-VMEM usage of 16.11 MB at lg=12/NSLOTS=4/int4,
+    11.0 MB buffer) fits scoped VMEM. ``f2`` is the bf16 kvg row width per
+    layer (2F), 0 if pre-quantized."""
     for lg in sorted((d for d in range(1, L + 1) if L % d == 0),
                      reverse=True):
-        if 2 * REORDER_CHUNK * lg * Mc * RW * isz <= _VMEM_BUDGET:
+        need = (NSLOTS * REORDER_CHUNK * lg * Mc * RW * isz
+                + 9 * REORDER_CHUNK * lg * f2 * 4)
+        if need <= _VMEM_BUDGET:
             return lg
     raise ValueError(
         f"megarow reorder cannot fit a single-layer row chunk in VMEM "
@@ -80,8 +93,10 @@ def _reorder_kernel(src_ref, tt_ref, kvg_ref, cache_ref, dst_ref,
                     quant: "str | None", kvg_pre: bool, chunk: int, lg: int,
                     pipelined: bool):
     """Grid cell: gather ``chunk`` beams' [lg, Mc, RW] row blocks by src,
-    insert kvg at slot t-1, write the ordered slab back. Double-buffered
-    across cells exactly like attend_reorder._kernel."""
+    insert kvg at slot t-1, write the ordered slab back. Reads for the
+    next NSLOTS-1 cells revolve through the buffer slots (2-slot double
+    buffering measured 293 GB/s combined vs the 433 ceiling — per-cell
+    descriptor depth was too shallow)."""
     del dst_ref  # aliased to cache_out_ref's buffer
     b = pl.program_id(0)
     g = pl.program_id(1)
@@ -91,11 +106,17 @@ def _reorder_kernel(src_ref, tt_ref, kvg_ref, cache_ref, dst_ref,
     total = pl.num_programs(0) * ng * nc
     t = tt_ref[0]
     Mc = buf.shape[3]
+    ns = buf.shape[0]
     i = (b * ng + g) * nc + c
-    cur = jax.lax.rem(i, 2)
-    nxt = 1 - cur
+    cur = jax.lax.rem(i, ns)
 
-    def issue_ins(b2, g2, c2, s2):
+    def coords(i2):
+        b2 = i2 // (ng * nc)
+        r = jax.lax.rem(i2, ng * nc)
+        return b2, r // nc, jax.lax.rem(r, nc)
+
+    def issue_ins(i2, s2):
+        b2, g2, c2 = coords(i2)
         for j in range(chunk):
             row = src_ref[b2, c2 * chunk + j]
             pltpu.make_async_copy(
@@ -116,29 +137,9 @@ def _reorder_kernel(src_ref, tt_ref, kvg_ref, cache_ref, dst_ref,
             cache_out_ref.at[b, pl.ds(c * chunk, chunk), pl.ds(g * lg, lg)],
             osems.at[s2]).wait()
 
-    if pipelined:
-        @pl.when(i == 0)
-        def _prologue():
-            issue_ins(b, g, c, cur)
-
-        @pl.when(i >= 1)
-        def _retire_prev_outs():      # cell i-1's writeback used slot nxt
-            wait_outs(nxt)
-
-        @pl.when(i + 1 < total)
-        def _prefetch_next():
-            cwrap = c + 1 == nc
-            gwrap = jnp.logical_and(cwrap, g + 1 == ng)
-            b2 = jnp.where(gwrap, b + 1, b)
-            g2 = jnp.where(gwrap, 0, jnp.where(cwrap, g + 1, g))
-            c2 = jnp.where(cwrap, 0, c + 1)
-            issue_ins(b2, g2, c2, nxt)
-    else:
-        issue_ins(b, g, c, cur)
-
-    wait_ins(cur)
-    # complete the deferred reorder: slot t-1 := step t-1's k/v for every
-    # layer in this group (quantized caches quantize HERE, exactly once)
+    # prepare the slot-(t-1) insert rows FIRST: kvg is a pipelined operand
+    # (already in VMEM), so the quantize compute overlaps the row DMAs
+    # being waited below instead of sitting between wait and writeback
     F2 = kvg_ref.shape[2] // lg
     kvrows = kvg_ref[0].reshape(chunk * lg, F2)
     if kvg_pre:
@@ -152,8 +153,41 @@ def _reorder_kernel(src_ref, tt_ref, kvg_ref, cache_ref, dst_ref,
     else:
         ins = kvrows
     ins = ins.reshape(chunk, lg, 1, ins.shape[-1])
-    slot_m = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Mc, 1), 2)
-    buf[cur] = jnp.where(slot_m == t - 1, ins, buf[cur])
+
+    if pipelined:
+        @pl.when(i == 0)
+        def _prologue():
+            for d in range(min(ns - 1, total)):
+                issue_ins(jnp.int32(d), d)
+
+        @pl.when(i >= 1)
+        def _retire_prev_outs():
+            # cell i-1's writeback used slot (i-1) % ns — retire it before
+            # the prefetch below reuses that slot for cell i+ns-1's reads
+            wait_outs(jax.lax.rem(i - 1 + ns, ns))
+
+        @pl.when(i + ns - 1 < total)
+        def _prefetch():
+            issue_ins(i + ns - 1, jax.lax.rem(i + ns - 1, ns))
+    else:
+        issue_ins(i, cur)
+
+    wait_ins(cur)
+    # complete the deferred reorder: slot t-1 := step t-1's k/v for every
+    # layer in this group (quantized caches quantize exactly once). A
+    # read-modify-write of the ALIGNED 8-slot window around t-1, NOT a
+    # whole-buffer where(): the where's two [chunk, lg, Mc, RW] temporaries
+    # blow scoped VMEM at lg=12/NSLOTS=4, and Mosaic requires sublane-dim
+    # stores to be provably 8-aligned (hence the multiple_of hint). At t=0
+    # the clamped window writes slot 0 with the all-zero initial kvg;
+    # harmless — slots >= t are bias-masked and slot 0 is properly written
+    # at t=1.
+    tm = jnp.maximum(t - 1, 0)
+    base = pl.multiple_of((tm // 8) * 8, 8)
+    win = buf[cur, :, :, pl.ds(base, 8), :]
+    slot_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8, 1), 2)
+    buf[cur, :, :, pl.ds(base, 8), :] = jnp.where(slot_w == tm - base,
+                                                  ins, win)
     pltpu.make_async_copy(
         buf.at[cur],
         cache_out_ref.at[b, pl.ds(c * chunk, chunk), pl.ds(g * lg, lg)],
@@ -200,7 +234,8 @@ def reorder_cache_all(kvg, cache_src, cache_dst, src, t, num_heads: int,
     assert kvg.shape == (B, N, L * krow), kvg.shape
     assert src.shape == (B, N), src.shape
     if lg is None:
-        lg = pick_layer_group(L, Mc, RW, cache_src.dtype.itemsize)
+        lg = pick_layer_group(L, Mc, RW, cache_src.dtype.itemsize,
+                              f2=0 if kvg_pre else krow)
     if chunk is None:
         chunk = REORDER_CHUNK
     if N % chunk != 0:
@@ -230,9 +265,9 @@ def reorder_cache_all(kvg, cache_src, cache_dst, src, t, num_heads: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, lg, Mc, RW), cache_src.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NSLOTS, chunk, lg, Mc, RW), cache_src.dtype),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
         ],
     )
     new_cache = pl.pallas_call(
