@@ -56,7 +56,9 @@ def main():
     else:
         quant_env = os.environ.get("BENCH_QUANT", "int4")
     quant = None if quant_env in ("none", "0", "") else quant_env
-    batch = int(os.environ.get("BENCH_BATCH", 8 if quant else 4))
+    # batch 12 is the measured-best megarow default (8.03 qps vs 7.95 at b8;
+    # b16 OOMs the beam-1000 int4 ping-pong cache pair by ~255 MB)
+    batch = int(os.environ.get("BENCH_BATCH", 12 if quant else 4))
     seq_len = int(os.environ.get("BENCH_SEQ", 64))
     iters = int(os.environ.get("BENCH_ITERS", 5))
 
@@ -106,8 +108,8 @@ def main():
     # disappears — that transient is what OOMs batch 16 at beam 1000.
     segments = int(os.environ.get("BENCH_SEGMENTS", 4))
     # megarow (ops/megarow.py) is the measured-best decode path on v5e:
-    # 7.86 qps vs 7.16-7.34 for the per-layer deferred kernel at the
-    # default config (BENCH_MEGAROW=0 to compare against the old path)
+    # 8.03 qps (b12) / 7.95 (b8) vs 7.16-7.34 for the per-layer deferred
+    # kernel at the same config (BENCH_MEGAROW=0 compares the old path)
     megarow = os.environ.get("BENCH_MEGAROW", "1") == "1"
     run = make_beam_search_fn(cfg, num_beams, constrained=True,
                               dtype=jnp.bfloat16, kv_cache_quant=quant,

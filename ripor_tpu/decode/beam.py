@@ -563,7 +563,8 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
                                 cache_segments: int = 4,
                                 deferred: Optional[bool] = None,
                                 kv_cache_int8: bool = False,
-                                kv_cache_quant: Optional[str] = None):
+                                kv_cache_quant: Optional[str] = None,
+                                megarow: Optional[bool] = None):
     """Data-parallel constrained beam search: queries shard over the mesh's
     'data' axis, params + trie tables replicate, each device runs the full
     decode on its query shard (replaces the reference's one-query-per-GPU
@@ -579,7 +580,8 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
                                 cache_segments=cache_segments,
                                 deferred=deferred,
                                 kv_cache_int8=kv_cache_int8,
-                                kv_cache_quant=kv_cache_quant)
+                                kv_cache_quant=kv_cache_quant,
+                                megarow=megarow)
 
     @jax.jit
     def _run(params, input_ids, attention_mask, tables):

@@ -151,3 +151,27 @@ def test_sharded_ragged_batch_pad_and_error(mesh8):
     np.testing.assert_allclose(np.asarray(s_sh)[:n], np.asarray(s_1),
                                rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(c_sh)[:n], np.asarray(c_1))
+
+
+def test_sharded_megarow_matches_single_device(mesh8):
+    """megarow passes through the DP shard_map wrapper and matches the
+    single-device megarow decode exactly (f32, interpret kernels)."""
+    cfg = ripor_small(M=4, K=8)
+    model = RiporModel(cfg)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(1, 90, (8, 9)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init({"params": jax.random.PRNGKey(5)}, ids, mask,
+                        jnp.zeros((8, 4), jnp.int32))["params"]
+    trie = build_trie(rng.integers(0, 8, (30, 4)), 8)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+    ref = make_beam_search_fn(cfg, 4, dtype=jnp.float32, megarow=True,
+                              cache_segments=2, use_pallas_gather=False)
+    sh = make_sharded_beam_search_fn(cfg, 4, mesh8, dtype=jnp.float32,
+                                     megarow=True, cache_segments=2,
+                                     use_pallas_gather=False)
+    s0, c0, st0 = ref(params, ids, mask, tables)
+    s1, c1, st1 = sh(params, ids, mask, tables)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
