@@ -397,6 +397,29 @@ def cmd_full_recipe(args):
     print(json.dumps(metrics, indent=2))
 
 
+def cmd_serve(args):
+    """Online retrieval service over a trained workspace: microbatching
+    engine + HTTP endpoint (ripor_tpu/serve/; the reference has no serving
+    path — its offline analogue is evaluate.py:457-526)."""
+    from ripor_tpu.data import UnigramTokenizer, load_docid_to_smtid
+    from ripor_tpu.pipeline.recipe import stage_build_trie
+    from ripor_tpu.serve import RetrievalEngine, ServeConfig, serve_http
+
+    ws, cfg, model, params = _load_workspace_model(args.workspace, args.phase)
+    tok = UnigramTokenizer.load(ws.path("tokenizer.json"))
+    docids, codes = load_docid_to_smtid(ws.path("docid_to_smtid.json"))
+    trie = stage_build_trie(ws, codes, cfg.K)
+    scfg = ServeConfig(num_beams=args.beam, topk=args.topk,
+                       batch_sizes=tuple(args.batch_sizes),
+                       kv_cache_quant=args.kv_quant or None,
+                       max_delay_ms=args.max_delay_ms)
+    print(f"warming shapes {scfg.batch_sizes} at beam {scfg.num_beams} ...")
+    engine = RetrievalEngine(cfg, params, tok, trie, docids, scfg)
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(POST /retrieve, GET /stats)")
+    serve_http(engine, host=args.host, port=args.port)
+
+
 def cmd_train(args):
     from ripor_tpu.pipeline.e2e import run_train_from_config
     cfg = json.loads(Path(args.config).read_text())
@@ -487,6 +510,19 @@ def main(argv=None):
     pr.add_argument("--rank", type=int, default=0)
     pr.add_argument("--nranks", type=int, default=1)
     pr.set_defaults(fn=cmd_retrieve)
+
+    ps = sub.add_parser("serve", help="online retrieval HTTP service")
+    ps.add_argument("--workspace", required=True)
+    ps.add_argument("--phase", default="final")
+    ps.add_argument("--beam", type=int, default=100)
+    ps.add_argument("--topk", type=int, default=100)
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8600)
+    ps.add_argument("--batch-sizes", type=int, nargs="+", default=[1, 4, 8])
+    ps.add_argument("--kv-quant", default="",
+                    help="int8|int4 decode KV cache (TPU)")
+    ps.add_argument("--max-delay-ms", type=float, default=5.0)
+    ps.set_defaults(fn=cmd_serve)
 
     prm = sub.add_parser("retrieve-merge",
                          help="merge per-rank run shards -> run.json")

@@ -67,6 +67,12 @@ SEQ_MODE = os.environ.get("RIPOR_MR_SEQ", "manual")
 # stay in flight (the 2-slot version measured 293 GB/s combined vs the 433
 # ceiling — not enough DMA depth at 8 descriptors/cell)
 NSLOTS = int(os.environ.get("RIPOR_MR_NSLOTS", "4"))
+# ablation instrumentation (tools/bench_decode_ablate.py mr_dma_stub): shrink
+# kernel B's row reads to an [8, 128] corner per beam group — keeps the
+# descriptor count and the full attention math (on stale buffer contents) so
+# the timing difference vs mr_full isolates the DMA *bytes*. Never set in
+# production.
+_DMA_STUB = os.environ.get("RIPOR_MR_DMA_STUB", "0") == "1"
 
 
 def pick_layer_group(L: int, Mc: int, RW: int, isz: int,
@@ -389,15 +395,29 @@ def _seq_kernel(lt_ref, q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
 
     def issue_ins(b2, c2, s2):
         for j in range(0, chunk, wg):
-            pltpu.make_async_copy(
-                cache_ref.at[b2, pl.ds(c2 * chunk + j, wg), l],
-                buf.at[s2, pl.ds(j, wg)], isems.at[s2]).start()
+            if _DMA_STUB:       # ablation: same descriptors, ~28x fewer bytes
+                pltpu.make_async_copy(
+                    cache_ref.at[b2, pl.ds(c2 * chunk + j, wg), l,
+                                 pl.ds(0, 8), pl.ds(0, 128)],
+                    buf.at[s2, pl.ds(j, wg), pl.ds(0, 8), pl.ds(0, 128)],
+                    isems.at[s2]).start()
+            else:
+                pltpu.make_async_copy(
+                    cache_ref.at[b2, pl.ds(c2 * chunk + j, wg), l],
+                    buf.at[s2, pl.ds(j, wg)], isems.at[s2]).start()
 
     def wait_ins(s2):
         for j in range(0, chunk, wg):
-            pltpu.make_async_copy(
-                cache_ref.at[b, pl.ds(c * chunk + j, wg), l],
-                buf.at[s2, pl.ds(j, wg)], isems.at[s2]).wait()
+            if _DMA_STUB:
+                pltpu.make_async_copy(
+                    cache_ref.at[b, pl.ds(c * chunk + j, wg), l,
+                                 pl.ds(0, 8), pl.ds(0, 128)],
+                    buf.at[s2, pl.ds(j, wg), pl.ds(0, 8), pl.ds(0, 128)],
+                    isems.at[s2]).wait()
+            else:
+                pltpu.make_async_copy(
+                    cache_ref.at[b, pl.ds(c * chunk + j, wg), l],
+                    buf.at[s2, pl.ds(j, wg)], isems.at[s2]).wait()
 
     if pipelined:
         @pl.when(i == 0)

@@ -1,0 +1,220 @@
+"""Microbatching retrieval engine: online queries over warm jitted decode.
+
+The reference's retrieval is offline-only: a fixed-batch loop over a query
+file per DDP rank (/root/reference/t5_pretrainer/evaluate.py:457-487, batch
+size 1 per GPU at beam 1000). Serving online traffic on a TPU adds two
+constraints the reference never faced:
+
+* XLA compiles one program per input shape — so the engine pre-compiles a
+  small ladder of batch sizes ("warm shapes") and pads every microbatch up
+  to the nearest rung. Queries never trigger a compile after warmup.
+* Single-chip decode throughput comes from batching (CLAUDE.md: batch 12 is
+  2.2x batch 1 at beam 1000), so the engine coalesces concurrent requests
+  into one device call: a background batcher thread drains the request
+  queue, waits at most ``max_delay_ms`` for co-riders, then decodes.
+
+`retrieve_batch` is the synchronous path (CLI, tests); `submit` returns a
+Future and is what the HTTP front end uses — concurrent clients share
+device batches automatically.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class ServeConfig:
+    """Engine knobs. ``batch_sizes`` is the warm-shape ladder (ascending);
+    the largest entry is also the microbatch cap."""
+    num_beams: int = 100
+    topk: int = 100
+    max_length: int = 64
+    batch_sizes: Tuple[int, ...] = (1, 4, 8)
+    kv_cache_quant: Optional[str] = None
+    constrained: bool = True
+    max_delay_ms: float = 5.0
+    stats_window: int = 10_000          # latency samples kept for percentiles
+
+
+@dataclass
+class _Request:
+    text: str
+    future: Future
+    t_submit: float = field(default_factory=time.monotonic)
+
+
+class RetrievalEngine:
+    """Query text -> top-k (docid, score) over the constrained-beam decoder.
+
+    Wraps decode.beam.make_beam_search_fn + trie group expansion (the same
+    pair stage_retrieve uses offline) behind warm shapes and a microbatcher.
+    """
+
+    def __init__(self, cfg, params, tok, trie, docids: Sequence[str],
+                 serve_cfg: ServeConfig = ServeConfig(), warm: bool = True):
+        import jax
+        import jax.numpy as jnp
+        from ripor_tpu.decode.beam import make_beam_search_fn
+        from ripor_tpu.trie.succinct import succinct_tables
+
+        self.cfg = cfg
+        self.scfg = serve_cfg
+        self._tok = tok
+        self._trie = trie
+        self._docids = list(docids)
+        self._params = params
+        self._fn = make_beam_search_fn(
+            cfg, serve_cfg.num_beams, constrained=serve_cfg.constrained,
+            kv_cache_quant=serve_cfg.kv_cache_quant)
+        self._tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+        self._jnp = jnp
+        self._sizes = tuple(sorted(set(serve_cfg.batch_sizes)))
+        if not self._sizes:
+            raise ValueError("batch_sizes must be non-empty")
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._lock = threading.Lock()
+        self._lat: List[float] = []          # seconds, submit -> done
+        self._batch_hist: Dict[int, int] = {}
+        self._served = 0
+        self._t_start = time.monotonic()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        if warm:
+            self.warmup()
+
+    # -- synchronous path ---------------------------------------------------
+
+    def warmup(self):
+        """Compile every warm shape (one decode per ladder rung)."""
+        for b in self._sizes:
+            self._decode([""] * b)
+
+    def _decode(self, texts: Sequence[str]):
+        """One device call at a warm shape; returns per-query top-k lists."""
+        from ripor_tpu.data.tokenizer import tokenize_queries
+        from ripor_tpu.decode import expand_groups_to_docids
+
+        jnp = self._jnp
+        ids, mask = tokenize_queries(self._tok, list(texts),
+                                     self.scfg.max_length)
+        scores, codes, state = self._fn(self._params, jnp.asarray(ids),
+                                        jnp.asarray(mask), self._tables)
+        scores = np.asarray(scores)
+        state = np.asarray(state)
+        groups = np.where(state <= -2, -2 - state, -1)
+        out = []
+        for bi in range(len(texts)):
+            docs, doc_scores = expand_groups_to_docids(
+                self._trie, groups[bi], scores[bi], self.scfg.topk)
+            out.append([(self._docids[d], float(v))
+                        for d, v in zip(docs, doc_scores)])
+        return out
+
+    def retrieve_batch(self, texts: Sequence[str]
+                       ) -> List[List[Tuple[str, float]]]:
+        """Synchronous retrieval: pads to the nearest warm shape (splitting
+        into max-size chunks if the request exceeds the ladder)."""
+        t0 = time.monotonic()
+        cap = self._sizes[-1]
+        out: List[List[Tuple[str, float]]] = []
+        for s in range(0, len(texts), cap):
+            part = list(texts[s:s + cap])
+            rung = next(b for b in self._sizes if b >= len(part))
+            res = self._decode(part + [""] * (rung - len(part)))
+            out.extend(res[:len(part)])
+            self._record(rung, len(part), t0)
+        return out
+
+    # -- async microbatching path -------------------------------------------
+
+    def start(self):
+        """Start the batcher thread (idempotent)."""
+        if self._thread is None or not self._thread.is_alive():
+            self._stop.clear()
+            self._thread = threading.Thread(target=self._batch_loop,
+                                            name="ripor-batcher", daemon=True)
+            self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+
+    def submit(self, text: str) -> Future:
+        """Enqueue one query; the Future resolves to its top-k list.
+        Requires start(); concurrent submitters share device batches."""
+        req = _Request(text, Future())
+        self._q.put(req)
+        return req.future
+
+    def _batch_loop(self):
+        cap = self._sizes[-1]
+        delay = self.scfg.max_delay_ms / 1e3
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + delay
+            while len(batch) < cap:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            rung = next(b for b in self._sizes if b >= len(batch))
+            t0 = min(r.t_submit for r in batch)
+            try:
+                res = self._decode([r.text for r in batch]
+                                   + [""] * (rung - len(batch)))
+            except Exception as e:      # surface device errors per-request
+                for r in batch:
+                    r.future.set_exception(e)
+                continue
+            now = time.monotonic()
+            with self._lock:
+                self._batch_hist[rung] = self._batch_hist.get(rung, 0) + 1
+                self._served += len(batch)
+                for r in batch:
+                    self._lat.append(now - r.t_submit)
+                del self._lat[:-self.scfg.stats_window]
+            for r, item in zip(batch, res):
+                r.future.set_result(item)
+
+    # -- observability -------------------------------------------------------
+
+    def _record(self, rung: int, n: int, t0: float):
+        now = time.monotonic()
+        with self._lock:
+            self._batch_hist[rung] = self._batch_hist.get(rung, 0) + 1
+            self._served += n
+            self._lat.extend([now - t0] * n)
+            del self._lat[:-self.scfg.stats_window]
+
+    def stats(self) -> Dict[str, object]:
+        """Serving stats: latency percentiles (seconds, over the last
+        ``stats_window`` requests), lifetime qps, batch-size histogram."""
+        with self._lock:
+            lat = sorted(self._lat)
+            hist = dict(self._batch_hist)
+            served = self._served
+        elapsed = max(time.monotonic() - self._t_start, 1e-9)
+
+        def pct(p):
+            if not lat:
+                return None
+            return lat[min(len(lat) - 1, int(p / 100 * len(lat)))]
+
+        return {"served": served, "qps": served / elapsed,
+                "p50_s": pct(50), "p90_s": pct(90), "p99_s": pct(99),
+                "batch_hist": hist, "queue_depth": self._q.qsize()}

@@ -1,0 +1,84 @@
+"""Stdlib HTTP front end for RetrievalEngine (no extra dependencies).
+
+Endpoints:
+  POST /retrieve   {"queries": ["...", ...]}
+                   -> {"results": [[[docid, score], ...], ...]}
+  GET  /stats      engine.stats() JSON
+  GET  /healthz    200 "ok"
+
+Each query is submitted to the engine's microbatcher individually, so
+concurrent HTTP clients (the server is threading) share device batches.
+The reference has no serving path at all — its closest analogue is the
+offline run.json writer (/root/reference/t5_pretrainer/evaluate.py:489-526).
+"""
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from ripor_tpu.serve.engine import RetrievalEngine
+
+
+def _make_handler(engine: RetrievalEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):   # quiet; engine.stats() observes
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._json(200, engine.stats())
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/retrieve":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                queries = req["queries"]
+                assert isinstance(queries, list) and all(
+                    isinstance(q, str) for q in queries)
+            except Exception as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            futures = [engine.submit(q) for q in queries]
+            try:
+                results = [f.result(timeout=300) for f in futures]
+            except Exception as e:
+                self._json(500, {"error": str(e)})
+                return
+            self._json(200, {"results": results})
+
+    return Handler
+
+
+def serve_http(engine: RetrievalEngine, host: str = "127.0.0.1",
+               port: int = 8600, block: bool = True) -> ThreadingHTTPServer:
+    """Start the engine's batcher + an HTTP server. With block=False the
+    server runs on a daemon thread (port via server.server_address[1] —
+    pass port=0 for an ephemeral one) and the caller owns shutdown:
+    server.shutdown(); engine.stop()."""
+    import threading
+
+    engine.start()
+    server = ThreadingHTTPServer((host, port), _make_handler(engine))
+    if block:
+        try:
+            server.serve_forever()
+        finally:
+            engine.stop()
+    else:
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server

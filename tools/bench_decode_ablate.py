@@ -79,7 +79,8 @@ def main():
                     reorder=None, topk=None, kernel=None, sar=None,
                     chunk=None, deferred=None, bgr=None, finish=None,
                     ar_math=None, megarow=False, mr_reorder=None,
-                    mr_attn=None, mr_math=None, mr_quant4=None):
+                    mr_attn=None, mr_math=None, mr_quant4=None,
+                    mr_dma_stub=False, mr_chunk=None):
         import ripor_tpu.ops.beam_gather as bg_mod
         from ripor_tpu.models.t5 import DecoderLayer
         sa_mod.step_attention_fused = attn or real_attn
@@ -97,6 +98,8 @@ def main():
         mr_mod._seq_math = mr_math or real_seq_math
         mr_mod._seq_math_quant = mr_math or real_seq_math_q
         mr_mod._quantize_rows_int4 = mr_quant4 or real_mr_q4
+        mr_mod._DMA_STUB = mr_dma_stub
+        mr_mod.REORDER_CHUNK = mr_chunk or real_mr_chunk
         if topk is not None:
             jax.lax.top_k = topk
         jax.clear_caches()  # step_attention_fused is @jit: force a retrace
@@ -140,6 +143,8 @@ def main():
             mr_mod._seq_math = real_seq_math
             mr_mod._seq_math_quant = real_seq_math_q
             mr_mod._quantize_rows_int4 = real_mr_q4
+            mr_mod._DMA_STUB = False
+            mr_mod.REORDER_CHUNK = real_mr_chunk
             jax.lax.top_k = real_topk
 
     def fake_attn(q, k_new, v_new, cache, layer, bias_hist, bias_new,
@@ -204,6 +209,7 @@ def main():
     real_seq_math = mr_mod._seq_math
     real_seq_math_q = mr_mod._seq_math_quant
     real_mr_q4 = mr_mod._quantize_rows_int4
+    real_mr_chunk = mr_mod.REORDER_CHUNK
 
     def fake_mr_reorder(kvg, cache_src, cache_dst, src, t, num_heads, **kw):
         return cache_dst  # skip kernel A entirely (wrong data, same shapes)
@@ -270,6 +276,13 @@ def main():
         ("mr_no_attn", dict(megarow=True, mr_attn=fake_mr_attn)),
         ("mr_math_stub", dict(megarow=True, mr_math=stub_seq_math)),
         ("mr_quant_stub", dict(megarow=True, mr_quant4=stub_q4)),
+        # kernel B with full math but ~28x fewer read bytes: distinguishes
+        # "math serialized after DMA" (time ~= mr_full - dma bytes) from
+        # "math already overlapped, DMA hidden under it" (time ~= mr_full)
+        ("mr_dma_stub", dict(megarow=True, mr_dma_stub=True)),
+        # reorder kernel with 16-beam grid cells (2x descriptors in flight,
+        # lg drops 6 -> 4 so per-descriptor size shrinks 172 -> 114 KB)
+        ("mr_reorder_c16", dict(megarow=True, mr_chunk=16)),
         ("mr_no_kvgather", dict(megarow=True, bgr=fake_bgr)),
         ("mr_no_ffn", dict(megarow=True, finish=fake_finish)),
         ("mr_no_kernels", dict(megarow=True, mr_reorder=fake_mr_reorder,
