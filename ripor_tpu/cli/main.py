@@ -403,18 +403,27 @@ def cmd_serve(args):
     path — its offline analogue is evaluate.py:457-526)."""
     from ripor_tpu.data import UnigramTokenizer, load_docid_to_smtid
     from ripor_tpu.pipeline.recipe import stage_build_trie
-    from ripor_tpu.serve import RetrievalEngine, ServeConfig, serve_http
+    from ripor_tpu.serve import (DenseEngine, RetrievalEngine, ServeConfig,
+                                 serve_http)
 
     ws, cfg, model, params = _load_workspace_model(args.workspace, args.phase)
     tok = UnigramTokenizer.load(ws.path("tokenizer.json"))
-    docids, codes = load_docid_to_smtid(ws.path("docid_to_smtid.json"))
-    trie = stage_build_trie(ws, codes, cfg.K)
     scfg = ServeConfig(num_beams=args.beam, topk=args.topk,
                        batch_sizes=tuple(args.batch_sizes),
                        kv_cache_quant=args.kv_quant or None,
                        max_delay_ms=args.max_delay_ms)
-    print(f"warming shapes {scfg.batch_sizes} at beam {scfg.num_beams} ...")
-    engine = RetrievalEngine(cfg, params, tok, trie, docids, scfg)
+    print(f"warming shapes {scfg.batch_sizes} ...")
+    if args.mode == "dense":
+        from ripor_tpu.data.emb_store import open_mmap
+        from ripor_tpu.evaluation.retriever import device_corpus
+        embs, docids = open_mmap(args.mmap_dir)
+        engine = DenseEngine(cfg, params, tok,
+                             device_corpus(np.asarray(embs)), docids, scfg,
+                             approx=args.approx)
+    else:
+        docids, codes = load_docid_to_smtid(ws.path("docid_to_smtid.json"))
+        trie = stage_build_trie(ws, codes, cfg.K)
+        engine = RetrievalEngine(cfg, params, tok, trie, docids, scfg)
     print(f"serving on http://{args.host}:{args.port} "
           f"(POST /retrieve, GET /stats)")
     serve_http(engine, host=args.host, port=args.port)
@@ -522,6 +531,11 @@ def main(argv=None):
     ps.add_argument("--kv-quant", default="",
                     help="int8|int4 decode KV cache (TPU)")
     ps.add_argument("--max-delay-ms", type=float, default=5.0)
+    ps.add_argument("--mode", choices=["beam", "dense"], default="beam")
+    ps.add_argument("--mmap-dir", default=None,
+                    help="dense mode: doc_embeds.mmap directory")
+    ps.add_argument("--approx", action="store_true",
+                    help="dense mode: approx_max_k top-k")
     ps.set_defaults(fn=cmd_serve)
 
     prm = sub.add_parser("retrieve-merge",

@@ -58,6 +58,16 @@ REORDER_CHUNK = int(os.environ.get("RIPOR_MR_CHUNK", "8"))
 # one strided descriptor; the beam stride is L*Mc*RW). 0 = whole chunk —
 # the measured best (7.57 vs 7.41 qps at wg=8, b8/beam1000/int4)
 SEQ_WG = int(os.environ.get("RIPOR_MR_WG", "0"))
+# kernel B grid-cell width override (beams per cell). The dma-stub ablation
+# shows kernel B's reads are fully hidden under its math; the remaining
+# non-math cost is ~1.7 us/grid-cell fixed overhead — so fewer, larger
+# cells win. Applied only when it divides the (padded) beam count and the
+# double row buffer fits VMEM; the math runs in SEQ_MTILE-beam sub-tiles to
+# keep its temporaries bounded regardless of the cell width. 0 = pick_chunk.
+SEQ_CHUNK = int(os.environ.get("RIPOR_MR_BCHUNK", "0"))
+# beam sub-tile for kernel B's attention math ([tile*Mc, F] temporaries must
+# fit scoped VMEM; 40 matches the measured-good pick_chunk envelope)
+SEQ_MTILE = int(os.environ.get("RIPOR_MR_MTILE", "40"))
 # kernel B read mode: "manual" (explicit double-buffered DMAs) or "stream"
 # (BlockSpec auto-pipelining, as step_attention_fused does)
 SEQ_MODE = os.environ.get("RIPOR_MR_SEQ", "manual")
@@ -292,30 +302,31 @@ def reorder_cache_all(kvg, cache_src, cache_dst, src, t, num_heads: int,
 # kernel B: one-position attention over the reordered megarow cache
 # ---------------------------------------------------------------------------
 
-def _seq_math(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref, rows,
-              num_heads: int):
+def _seq_math(qb, kvnew, bias_hist, bias_new, rows, num_heads: int):
     """Attention on VMEM rows [C, Mc, 2F] (K|V merged, slot t-1 already
     inserted) with position t's k/v folded into the softmax. Same math as
     attend_reorder._attn_math minus the kvg slot special-case; dots run at
-    the cache dtype (see that kernel's precision note). Returns [C, F] f32."""
-    C, F = q_ref.shape[1], q_ref.shape[2]
+    the cache dtype (see that kernel's precision note). All inputs are
+    VALUES (the kernel slices its refs into SEQ_MTILE-beam sub-tiles before
+    calling). Returns [C, F] f32."""
+    C, F = qb.shape
     Mc = rows.shape[1]
     H = num_heads
     head_of = jax.lax.broadcasted_iota(jnp.int32, (F, H), 0) // (F // H)
     head_mask = (head_of == jax.lax.broadcasted_iota(jnp.int32, (F, H), 1))
     dot_dt = rows.dtype
     hm = head_mask.astype(dot_dt)
-    qb = q_ref[0].astype(dot_dt)
+    qb = qb.astype(dot_dt)
     k_hist = rows[:, :, :F]
     v_hist = rows[:, :, F:]
     kq = (k_hist * qb[:, None, :]).reshape(C * Mc, F)
     s_hist = jax.lax.dot(kq.astype(dot_dt), hm,
                          preferred_element_type=jnp.float32).reshape(C, Mc, H)
-    s_hist = s_hist + bias_hist_ref[...].astype(jnp.float32)[None]
-    kn = kvnew_ref[0][:, :F].astype(dot_dt) * qb
-    v_new = kvnew_ref[0][:, F:]
+    s_hist = s_hist + bias_hist.astype(jnp.float32)[None]
+    kn = kvnew[:, :F].astype(dot_dt) * qb
+    v_new = kvnew[:, F:]
     s_new = jax.lax.dot(kn, hm, preferred_element_type=jnp.float32)  # [C, H]
-    s_new = s_new + bias_new_ref[...].astype(jnp.float32)
+    s_new = s_new + bias_new.astype(jnp.float32)
 
     scores = jnp.concatenate([s_hist, s_new[:, None, :]], axis=1)
     probs = jax.nn.softmax(scores, axis=1)               # [C, Mc+1, H]
@@ -330,13 +341,13 @@ def _seq_math(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref, rows,
     return out + pn * v_new.astype(jnp.float32)
 
 
-def _seq_math_quant(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref, rows,
+def _seq_math_quant(qb, kvnew, bias_hist, bias_new, rows,
                     num_heads: int, quant: str):
     """_seq_math for int8/int4 rows [C, Mc, RW]: uniform per-(slot, head)
     power-of-2 dequantization (every slot incl. the fresh t-1 is quantized —
     see module numerics note). Mirrors attend_reorder._attn_math_q8/_q4's
-    uniform paths. Returns [C, F] f32."""
-    C, F = q_ref.shape[1], q_ref.shape[2]
+    uniform paths. Inputs are values (sub-tile slices). Returns [C, F] f32."""
+    C, F = qb.shape
     Mc = rows.shape[1]
     H = num_heads
     head_of = jax.lax.broadcasted_iota(jnp.int32, (F, H), 0) // (F // H)
@@ -353,18 +364,18 @@ def _seq_math_quant(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref, rows,
     ek = jnp.exp2(ef[:, :, :H])                          # [C, Mc, H]
     ev = jnp.exp2(ef[:, :, H:2 * H])
 
-    qb = q_ref[0].astype(jnp.bfloat16)
+    qb = qb.astype(jnp.bfloat16)
     kq = (k8 * qb[:, None, :]).reshape(C * Mc, F)
     s_hist = jax.lax.dot(kq, hm,
                          preferred_element_type=jnp.float32).reshape(C, Mc, H)
     s_hist = s_hist * ek
-    s_hist = s_hist + bias_hist_ref[...].astype(jnp.float32)[None]
+    s_hist = s_hist + bias_hist.astype(jnp.float32)[None]
 
-    k_new = kvnew_ref[0][:, :F].astype(jnp.bfloat16)
-    v_new = kvnew_ref[0][:, F:]
+    k_new = kvnew[:, :F].astype(jnp.bfloat16)
+    v_new = kvnew[:, F:]
     s_new = jax.lax.dot(k_new * qb, hm,
                         preferred_element_type=jnp.float32)          # [C, H]
-    s_new = s_new + bias_new_ref[...].astype(jnp.float32)
+    s_new = s_new + bias_new.astype(jnp.float32)
 
     scores = jnp.concatenate([s_hist, s_new[:, None, :]], axis=1)
     probs = jax.nn.softmax(scores, axis=1)               # [C, Mc+1, H]
@@ -380,10 +391,14 @@ def _seq_math_quant(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref, rows,
 
 def _seq_kernel(lt_ref, q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
                 cache_ref, attn_ref, buf, isems, *, num_heads: int,
-                quant: "str | None", chunk: int, wg: int, pipelined: bool):
+                quant: "str | None", chunk: int, wg: int, mtile: int,
+                pipelined: bool):
     """Grid cell: stream this layer's [chunk, Mc, RW] reordered rows in
     wg-beam strided descriptors (double-buffered across cells), then run
-    the attention math."""
+    the attention math in ``mtile``-beam sub-tiles (bounds the math's
+    [tile*Mc, F] temporaries so the cell width can grow past pick_chunk's
+    envelope — fewer cells = less of the ~1.7 us/cell fixed overhead the
+    dma-stub ablation isolated)."""
     b = pl.program_id(0)
     c = pl.program_id(1)
     nc = pl.num_programs(1)
@@ -434,29 +449,35 @@ def _seq_kernel(lt_ref, q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
         issue_ins(b, c, cur)
 
     wait_ins(cur)
-    rows = buf[cur]
-    if quant:
-        out = _seq_math_quant(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
-                              rows, num_heads, quant)
-    else:
-        out = _seq_math(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
-                        rows, num_heads)
-    attn_ref[0] = out.astype(attn_ref.dtype)
+    bh = bias_hist_ref[...]
+    bn = bias_new_ref[...]
+    for j0 in range(0, chunk, mtile):
+        rows = buf[cur, j0:j0 + mtile]
+        qb = q_ref[0, j0:j0 + mtile]
+        kvn = kvnew_ref[0, j0:j0 + mtile]
+        if quant:
+            out = _seq_math_quant(qb, kvn, bh, bn, rows, num_heads, quant)
+        else:
+            out = _seq_math(qb, kvn, bh, bn, rows, num_heads)
+        attn_ref[0, j0:j0 + mtile] = out.astype(attn_ref.dtype)
 
 
 def _seq_kernel_stream(lt_ref, q_ref, kvnew_ref, bias_hist_ref,
                        bias_new_ref, rows_ref, attn_ref, *, num_heads: int,
-                       quant: "str | None"):
+                       quant: "str | None", chunk: int, mtile: int):
     """BlockSpec-streaming variant: the pallas pipeline DMAs this layer's
     [1, chunk, 1, Mc, RW] block (double-buffered across cells) — same math."""
-    rows = rows_ref[0, :, 0]
-    if quant:
-        out = _seq_math_quant(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
-                              rows, num_heads, quant)
-    else:
-        out = _seq_math(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
-                        rows, num_heads)
-    attn_ref[0] = out.astype(attn_ref.dtype)
+    bh = bias_hist_ref[...]
+    bn = bias_new_ref[...]
+    for j0 in range(0, chunk, mtile):
+        rows = rows_ref[0, j0:j0 + mtile, 0]
+        qb = q_ref[0, j0:j0 + mtile]
+        kvn = kvnew_ref[0, j0:j0 + mtile]
+        if quant:
+            out = _seq_math_quant(qb, kvn, bh, bn, rows, num_heads, quant)
+        else:
+            out = _seq_math(qb, kvn, bh, bn, rows, num_heads)
+        attn_ref[0, j0:j0 + mtile] = out.astype(attn_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
@@ -483,6 +504,14 @@ def step_attention_seq(q, kv_new, cache, layer, bias_hist, bias_new,
     assert kv_new.shape == (B, N, 2 * F), kv_new.shape
     if chunk is None:
         chunk = pick_chunk(Mc, RW, cache.dtype.itemsize)
+    # SEQ_CHUNK widens the grid cells past pick_chunk's math-temporary
+    # envelope (the math is sub-tiled below); require divisibility — the
+    # pad fallback would copy the whole cache — and a VMEM-safe row buffer
+    if (SEQ_CHUNK and N % SEQ_CHUNK == 0
+            and 2 * SEQ_CHUNK * Mc * RW * cache.dtype.itemsize
+            <= _VMEM_BUDGET - 2_000_000):
+        chunk = SEQ_CHUNK
+    mtile = SEQ_MTILE if chunk % SEQ_MTILE == 0 else chunk
     if wg is None:
         wg = SEQ_WG or chunk
         wg = wg if chunk % wg == 0 else 1
@@ -499,7 +528,7 @@ def step_attention_seq(q, kv_new, cache, layer, bias_hist, bias_new,
     lt = jnp.asarray(layer, jnp.int32).reshape(1)
     if SEQ_MODE == "stream" and not interpret:
         kernel = functools.partial(_seq_kernel_stream, num_heads=num_heads,
-                                   quant=quant)
+                                   quant=quant, chunk=chunk, mtile=mtile)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, N // chunk),
@@ -521,7 +550,8 @@ def step_attention_seq(q, kv_new, cache, layer, bias_hist, bias_new,
         )(lt, q, kv_new, bias_hist, bias_new, cache)
 
     kernel = functools.partial(_seq_kernel, num_heads=num_heads, quant=quant,
-                               chunk=chunk, wg=wg, pipelined=not interpret)
+                               chunk=chunk, wg=wg, mtile=mtile,
+                               pipelined=not interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, N // chunk),

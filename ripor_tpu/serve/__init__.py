@@ -6,7 +6,7 @@ package turns the same decode path into a production service: a warm-shape
 microbatching engine (`RetrievalEngine`) and a stdlib HTTP front end
 (`serve_http`).
 """
-from ripor_tpu.serve.engine import RetrievalEngine, ServeConfig
+from ripor_tpu.serve.engine import DenseEngine, RetrievalEngine, ServeConfig
 from ripor_tpu.serve.http import serve_http
 
-__all__ = ["RetrievalEngine", "ServeConfig", "serve_http"]
+__all__ = ["DenseEngine", "RetrievalEngine", "ServeConfig", "serve_http"]

@@ -50,31 +50,16 @@ class _Request:
     t_submit: float = field(default_factory=time.monotonic)
 
 
-class RetrievalEngine:
-    """Query text -> top-k (docid, score) over the constrained-beam decoder.
+class BaseEngine:
+    """Warm-shape microbatching over an abstract per-batch ``_decode``.
 
-    Wraps decode.beam.make_beam_search_fn + trie group expansion (the same
-    pair stage_retrieve uses offline) behind warm shapes and a microbatcher.
+    Subclasses implement ``_decode(texts) -> list[result]`` as ONE device
+    call at a warm shape; this base provides the shape ladder, the
+    synchronous split/pad path, the batcher thread, and serving stats.
     """
 
-    def __init__(self, cfg, params, tok, trie, docids: Sequence[str],
-                 serve_cfg: ServeConfig = ServeConfig(), warm: bool = True):
-        import jax
-        import jax.numpy as jnp
-        from ripor_tpu.decode.beam import make_beam_search_fn
-        from ripor_tpu.trie.succinct import succinct_tables
-
-        self.cfg = cfg
+    def __init__(self, serve_cfg: ServeConfig, warm: bool = True):
         self.scfg = serve_cfg
-        self._tok = tok
-        self._trie = trie
-        self._docids = list(docids)
-        self._params = params
-        self._fn = make_beam_search_fn(
-            cfg, serve_cfg.num_beams, constrained=serve_cfg.constrained,
-            kv_cache_quant=serve_cfg.kv_cache_quant)
-        self._tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
-        self._jnp = jnp
         self._sizes = tuple(sorted(set(serve_cfg.batch_sizes)))
         if not self._sizes:
             raise ValueError("batch_sizes must be non-empty")
@@ -89,33 +74,15 @@ class RetrievalEngine:
         if warm:
             self.warmup()
 
+    def _decode(self, texts: Sequence[str]) -> List[object]:
+        raise NotImplementedError
+
     # -- synchronous path ---------------------------------------------------
 
     def warmup(self):
         """Compile every warm shape (one decode per ladder rung)."""
         for b in self._sizes:
             self._decode([""] * b)
-
-    def _decode(self, texts: Sequence[str]):
-        """One device call at a warm shape; returns per-query top-k lists."""
-        from ripor_tpu.data.tokenizer import tokenize_queries
-        from ripor_tpu.decode import expand_groups_to_docids
-
-        jnp = self._jnp
-        ids, mask = tokenize_queries(self._tok, list(texts),
-                                     self.scfg.max_length)
-        scores, codes, state = self._fn(self._params, jnp.asarray(ids),
-                                        jnp.asarray(mask), self._tables)
-        scores = np.asarray(scores)
-        state = np.asarray(state)
-        groups = np.where(state <= -2, -2 - state, -1)
-        out = []
-        for bi in range(len(texts)):
-            docs, doc_scores = expand_groups_to_docids(
-                self._trie, groups[bi], scores[bi], self.scfg.topk)
-            out.append([(self._docids[d], float(v))
-                        for d, v in zip(docs, doc_scores)])
-        return out
 
     def retrieve_batch(self, texts: Sequence[str]
                        ) -> List[List[Tuple[str, float]]]:
@@ -218,3 +185,93 @@ class RetrievalEngine:
         return {"served": served, "qps": served / elapsed,
                 "p50_s": pct(50), "p90_s": pct(90), "p99_s": pct(99),
                 "batch_hist": hist, "queue_depth": self._q.qsize()}
+
+
+class RetrievalEngine(BaseEngine):
+    """Query text -> top-k (docid, score) over the constrained-beam decoder.
+
+    Wraps decode.beam.make_beam_search_fn + trie group expansion (the same
+    pair stage_retrieve uses offline) behind warm shapes and a microbatcher.
+    """
+
+    def __init__(self, cfg, params, tok, trie, docids: Sequence[str],
+                 serve_cfg: ServeConfig = ServeConfig(), warm: bool = True):
+        import jax
+        import jax.numpy as jnp
+        from ripor_tpu.decode.beam import make_beam_search_fn
+        from ripor_tpu.trie.succinct import succinct_tables
+
+        self.cfg = cfg
+        self._tok = tok
+        self._trie = trie
+        self._docids = list(docids)
+        self._params = params
+        self._fn = make_beam_search_fn(
+            cfg, serve_cfg.num_beams, constrained=serve_cfg.constrained,
+            kv_cache_quant=serve_cfg.kv_cache_quant)
+        self._tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+        self._jnp = jnp
+        super().__init__(serve_cfg, warm=warm)
+
+    def _decode(self, texts: Sequence[str]):
+        """One device call at a warm shape; returns per-query top-k lists."""
+        from ripor_tpu.data.tokenizer import tokenize_queries
+        from ripor_tpu.decode import expand_groups_to_docids
+
+        jnp = self._jnp
+        ids, mask = tokenize_queries(self._tok, list(texts),
+                                     self.scfg.max_length)
+        scores, codes, state = self._fn(self._params, jnp.asarray(ids),
+                                        jnp.asarray(mask), self._tables)
+        scores = np.asarray(scores)
+        state = np.asarray(state)
+        groups = np.where(state <= -2, -2 - state, -1)
+        out = []
+        for bi in range(len(texts)):
+            docs, doc_scores = expand_groups_to_docids(
+                self._trie, groups[bi], scores[bi], self.scfg.topk)
+            out.append([(self._docids[d], float(v))
+                        for d, v in zip(docs, doc_scores)])
+        return out
+
+
+class DenseEngine(BaseEngine):
+    """Query text -> top-k (docid, score) by exact/approx MIPS over a
+    device-resident corpus (evaluation/retriever.py::dense_topk — the
+    single-chip replacement for the reference's 8-GPU faiss shard,
+    tasks/evaluator.py:694-831). ``corpus``: [N, d] float array (uploaded
+    once via retriever.device_corpus, bf16 fits 8.8M x 768 on one chip)."""
+
+    def __init__(self, cfg, params, tok, corpus, docids: Sequence[str],
+                 serve_cfg: ServeConfig = ServeConfig(), warm: bool = True,
+                 approx: bool = False, dtype=None):
+        import jax
+        import jax.numpy as jnp
+        from ripor_tpu.evaluation.retriever import device_corpus
+        from ripor_tpu.models import RiporModel
+
+        self.cfg = cfg
+        self._tok = tok
+        self._docids = list(docids)
+        self._params = params
+        self._approx = approx
+        self._corpus = (corpus if isinstance(corpus, jax.Array)
+                        else device_corpus(corpus))
+        model = RiporModel(cfg, dtype=dtype or jnp.bfloat16)
+        self._rep = jax.jit(lambda p, i, m: model.apply(
+            {"params": p}, i, m, method=RiporModel.dense_rep))
+        self._jnp = jnp
+        super().__init__(serve_cfg, warm=warm)
+
+    def _decode(self, texts: Sequence[str]):
+        from ripor_tpu.data.tokenizer import tokenize_queries
+        from ripor_tpu.evaluation.retriever import dense_topk
+
+        jnp = self._jnp
+        ids, mask = tokenize_queries(self._tok, list(texts),
+                                     self.scfg.max_length)
+        reps = self._rep(self._params, jnp.asarray(ids), jnp.asarray(mask))
+        scores, idx = dense_topk(np.asarray(reps, np.float32), self._corpus,
+                                 self.scfg.topk, approx=self._approx)
+        return [[(self._docids[d], float(v)) for d, v in zip(qi, qs)]
+                for qi, qs in zip(idx, scores)]

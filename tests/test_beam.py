@@ -423,6 +423,38 @@ def test_megarow_matches_xla_path():
     np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
 
 
+def test_megarow_wide_cell_subtiled_math_matches():
+    """Kernel B with a widened grid cell (SEQ_CHUNK override) + sub-tiled
+    math (SEQ_MTILE) must be bit-identical to the default cell width: the
+    tiling only re-batches the same per-beam math."""
+    import ripor_tpu.ops.megarow as mr
+    from ripor_tpu.decode.beam import make_beam_search_fn
+    from ripor_tpu.trie.succinct import succinct_tables
+
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=6, K=8, n_docs=40)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+    base_fn = make_beam_search_fn(cfg, 8, constrained=True, dtype=jnp.float32,
+                                  use_pallas_gather=False, megarow=True,
+                                  cache_segments=3)
+    s0, c0, st0 = base_fn(params, ids, mask, tables)
+    old = mr.SEQ_CHUNK, mr.SEQ_MTILE
+    try:
+        mr.SEQ_CHUNK, mr.SEQ_MTILE = 8, 4    # one 8-beam cell, 2 math tiles
+        jax.clear_caches()
+        wide_fn = make_beam_search_fn(cfg, 8, constrained=True,
+                                      dtype=jnp.float32,
+                                      use_pallas_gather=False, megarow=True,
+                                      cache_segments=3)
+        s1, c1, st1 = wide_fn(params, ids, mask, tables)
+    finally:
+        mr.SEQ_CHUNK, mr.SEQ_MTILE = old
+        jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
+
+
 def test_megarow_int8_close_to_xla_path():
     """Megarow over an int8 cache: like kvg_quant_xla mode, the freshly
     inserted slot t-1 is read back quantized at step t, so the wider

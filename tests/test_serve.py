@@ -102,6 +102,35 @@ def test_microbatcher_coalesces_and_matches(tiny_engine):
     assert st["p50_s"] is not None and st["p99_s"] >= st["p50_s"]
 
 
+def test_dense_engine_matches_dense_topk():
+    from ripor_tpu.evaluation.retriever import dense_topk
+    from ripor_tpu.serve import DenseEngine
+
+    cfg = ripor_small(M=4, K=8)
+    model = RiporModel(cfg)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(1, 100, (2, 6)), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(3)}, ids,
+                        jnp.ones_like(ids),
+                        jnp.zeros((2, 4), jnp.int32))["params"]
+    corpus = rng.standard_normal((64, cfg.t5.d_model)).astype(np.float32)
+    docids = [f"d{i}" for i in range(64)]
+    tok = HashTokenizer(100)
+    scfg = ServeConfig(topk=5, max_length=6, batch_sizes=(2,))
+    eng = DenseEngine(cfg, params, tok, jnp.asarray(corpus), docids, scfg,
+                      dtype=jnp.float32)
+    got = eng.retrieve_batch(QUERIES[:2])
+
+    from ripor_tpu.data.tokenizer import tokenize_queries
+    qi, qm = tokenize_queries(tok, QUERIES[:2], 6)
+    reps = model.apply({"params": params}, jnp.asarray(qi), jnp.asarray(qm),
+                       method=RiporModel.dense_rep)
+    s, i = dense_topk(np.asarray(reps, np.float32), jnp.asarray(corpus), 5)
+    for b in range(2):
+        assert [d for d, _ in got[b]] == [docids[d] for d in i[b]]
+        np.testing.assert_allclose([v for _, v in got[b]], s[b], rtol=1e-5)
+
+
 def test_http_roundtrip(tiny_engine):
     eng, *_ = tiny_engine
     server = serve_http(eng, port=0, block=False)

@@ -218,11 +218,11 @@ def main():
                      num_heads, **kw):
         return q  # skip kernel B entirely
 
-    def stub_seq_math(q_ref, kvnew_ref, bias_hist_ref, bias_new_ref, rows,
+    def stub_seq_math(qb, kvnew, bias_hist, bias_new, rows,
                       num_heads, quant=None):
         # keep kernel B's row DMAs, skip its attention math
-        red = rows[:, 0, :q_ref.shape[2]].astype(jnpk.float32)
-        return q_ref[0].astype(jnpk.float32) + red * 1e-6
+        red = rows[:, 0, :qb.shape[1]].astype(jnpk.float32)
+        return qb.astype(jnpk.float32) + red * 1e-6
 
     def stub_q4(x, num_heads):
         # skip kernel A's in-VMEM quantize compute (insert garbage zeros)
