@@ -209,7 +209,9 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     descriptors ~L× larger, so the gather is bandwidth- instead of
     descriptor-issue-bound) + sequential-read attention per layer. One more
     cache pass per step than ``deferred``, every pass at parallel-DMA
-    bandwidth. Default: RIPOR_MEGAROW=1 env, else off. Implies deferred.
+    bandwidth. Default: ON whenever the pallas path is available and the
+    segment spans are even (the measured-best TPU path); RIPOR_MEGAROW=0/1
+    env overrides. Implies deferred.
     """
     M = max_steps or cfg.M
     N = num_beams
@@ -240,7 +242,15 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                      for lo, hi in zip([0] + bounds[:-1], bounds))
     if megarow is None:
         import os
-        megarow = os.environ.get("RIPOR_MEGAROW", "0") == "1"
+        env = os.environ.get("RIPOR_MEGAROW")
+        if env is not None:
+            megarow = env == "1"
+        else:
+            # measured-best decode path on TPU (8.03 vs 7.3 qps for the
+            # per-layer deferred kernel at b12/beam1000/int4) — default on
+            # whenever the pallas path is available and spans permit
+            megarow = (use_pallas_gather and spans_even
+                       and deferred is not False)
     if megarow:
         if deferred is False:
             raise ValueError("megarow=True implies the deferred path — "

@@ -379,7 +379,10 @@ def _seq_math_quant(qb, kvnew, bias_hist, bias_new, rows,
 
     scores = jnp.concatenate([s_hist, s_new[:, None, :]], axis=1)
     probs = jax.nn.softmax(scores, axis=1)               # [C, Mc+1, H]
-    # fold the per-(slot, head) V scale into probs pre-expansion
+    # fold the per-(slot, head) V scale into probs pre-expansion.
+    # MEASURED DEAD END: a bf16-accumulating expansion dot (to skip the
+    # f32->bf16 convert pass) is rejected by Mosaic — 'matmul acc must be
+    # 32-bit'. The convert pass stays.
     ps = probs[:, :Mc] * ev
     pe = jax.lax.dot(ps.reshape(C * Mc, H).astype(jnp.bfloat16), hm.T,
                      preferred_element_type=jnp.float32).reshape(C, Mc, F)
