@@ -110,9 +110,20 @@ class BaseEngine:
             self._thread.start()
 
     def stop(self):
+        """Stop the batcher and FAIL any still-queued requests (a future
+        that never resolves deadlocks its client; production shutdown must
+        drain deterministically)."""
         self._stop.set()
         if self._thread is not None:
-            self._thread.join(timeout=5.0)
+            self._thread.join(timeout=10.0)
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not req.future.done():
+                req.future.set_exception(
+                    RuntimeError("engine stopped before request was served"))
 
     def submit(self, text: str) -> Future:
         """Enqueue one query; the Future resolves to its top-k list.

@@ -37,6 +37,19 @@ def _make_handler(engine: RetrievalEngine):
                 self._json(200, {"status": "ok"})
             elif self.path == "/stats":
                 self._json(200, engine.stats())
+            elif self.path.startswith("/profile"):
+                # capture a device trace while live traffic runs (view with
+                # tensorboard / xprof): /profile?ms=2000&dir=/tmp/ripor_trace
+                from urllib.parse import parse_qs, urlparse
+                import time as _t
+                q = parse_qs(urlparse(self.path).query)
+                ms = float(q.get("ms", ["1000"])[0])
+                out = q.get("dir", ["/tmp/ripor_trace"])[0]
+                import jax
+                jax.profiler.start_trace(out)
+                _t.sleep(min(ms, 30_000) / 1e3)
+                jax.profiler.stop_trace()
+                self._json(200, {"trace_dir": out, "captured_ms": ms})
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 

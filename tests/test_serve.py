@@ -102,6 +102,15 @@ def test_microbatcher_coalesces_and_matches(tiny_engine):
     assert st["p50_s"] is not None and st["p99_s"] >= st["p50_s"]
 
 
+def test_stop_fails_queued_requests(tiny_engine):
+    """Shutdown must not leave queued futures hanging forever."""
+    eng, *_ = tiny_engine
+    f = eng.submit("orphaned query")      # batcher never started
+    eng.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        f.result(timeout=5)
+
+
 def test_dense_engine_matches_dense_topk():
     from ripor_tpu.evaluation.retriever import dense_topk
     from ripor_tpu.serve import DenseEngine
