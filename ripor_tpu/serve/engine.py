@@ -206,10 +206,12 @@ class RetrievalEngine(BaseEngine):
     """
 
     def __init__(self, cfg, params, tok, trie, docids: Sequence[str],
-                 serve_cfg: ServeConfig = ServeConfig(), warm: bool = True):
+                 serve_cfg: ServeConfig = ServeConfig(), warm: bool = True,
+                 mesh=None):
         import jax
         import jax.numpy as jnp
-        from ripor_tpu.decode.beam import make_beam_search_fn
+        from ripor_tpu.decode.beam import (make_beam_search_fn,
+                                           make_sharded_beam_search_fn)
         from ripor_tpu.trie.succinct import succinct_tables
 
         self.cfg = cfg
@@ -217,9 +219,25 @@ class RetrievalEngine(BaseEngine):
         self._trie = trie
         self._docids = list(docids)
         self._params = params
-        self._fn = make_beam_search_fn(
-            cfg, serve_cfg.num_beams, constrained=serve_cfg.constrained,
-            kv_cache_quant=serve_cfg.kv_cache_quant)
+        if mesh is not None:
+            # pod serving: queries shard over the mesh 'data' axis (DP
+            # decode, decode/beam.py::make_sharded_beam_search_fn) — every
+            # warm rung must divide it so microbatches shard evenly
+            from ripor_tpu.core.mesh import DATA_AXIS
+            ndata = mesh.shape[DATA_AXIS]
+            bad = [b for b in serve_cfg.batch_sizes if b % ndata != 0]
+            if bad:
+                raise ValueError(
+                    f"batch_sizes {bad} do not divide the mesh 'data' axis "
+                    f"({ndata}) — pick rungs that are multiples of it")
+            self._fn = make_sharded_beam_search_fn(
+                cfg, serve_cfg.num_beams, mesh,
+                constrained=serve_cfg.constrained,
+                kv_cache_quant=serve_cfg.kv_cache_quant)
+        else:
+            self._fn = make_beam_search_fn(
+                cfg, serve_cfg.num_beams, constrained=serve_cfg.constrained,
+                kv_cache_quant=serve_cfg.kv_cache_quant)
         self._tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
         self._jnp = jnp
         super().__init__(serve_cfg, warm=warm)

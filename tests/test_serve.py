@@ -102,6 +102,29 @@ def test_microbatcher_coalesces_and_matches(tiny_engine):
     assert st["p50_s"] is not None and st["p99_s"] >= st["p50_s"]
 
 
+def test_mesh_engine_matches_single_device(tiny_engine, mesh8):
+    """Pod serving: a mesh-backed engine (DP-sharded decode) returns the
+    same results as the single-device engine, and rejects rungs that do
+    not divide the data axis."""
+    eng, cfg, params, tok, trie, docids = tiny_engine
+    from ripor_tpu.serve import RetrievalEngine
+
+    scfg = ServeConfig(num_beams=5, topk=7, max_length=6,
+                       batch_sizes=(4,), max_delay_ms=50.0)
+    mesh_eng = RetrievalEngine(cfg, params, tok, trie, docids, scfg,
+                               mesh=mesh8)
+    got = mesh_eng.retrieve_batch(QUERIES[:3])   # pads 3 -> rung 4
+    want = eng.retrieve_batch(QUERIES[:3])
+    for g, w in zip(got, want):
+        assert [d for d, _ in g] == [d for d, _ in w]
+        np.testing.assert_allclose([s for _, s in g], [s for _, s in w],
+                                   rtol=1e-4)
+    with pytest.raises(ValueError, match="data"):
+        RetrievalEngine(cfg, params, tok, trie, docids,
+                        ServeConfig(num_beams=5, batch_sizes=(3,)),
+                        warm=False, mesh=mesh8)
+
+
 def test_stop_fails_queued_requests(tiny_engine):
     """Shutdown must not leave queued futures hanging forever."""
     eng, *_ = tiny_engine
