@@ -9,7 +9,9 @@ from ripor_tpu.evaluation.metrics import (
 )
 from ripor_tpu.evaluation.hnsw import HnswIndex, recall_vs_exact
 from ripor_tpu.evaluation.retriever import (
+    Int8Corpus,
     dense_topk,
+    device_corpus,
     encode_corpus,
     retrieve_to_run,
 )
@@ -17,6 +19,7 @@ from ripor_tpu.evaluation.retriever import (
 __all__ = [
     "mrr_k", "recall_k", "ndcg_cut_k", "evaluate_run", "load_and_evaluate",
     "truncate_run", "qrel_to_smtid_qrel",
-    "dense_topk", "encode_corpus", "retrieve_to_run",
+    "dense_topk", "device_corpus", "Int8Corpus", "encode_corpus",
+    "retrieve_to_run",
     "HnswIndex", "recall_vs_exact",
 ]

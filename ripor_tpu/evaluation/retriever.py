@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Dict, Iterable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -96,8 +96,10 @@ def _topk_block(queries, docs, k, approx: bool = False):
     return _pruned_tile_topk(scores, k, _TILE)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block", "nblocks", "approx"))
-def _topk_scan_device(queries, docs, k, block, nblocks, approx=False):
+@functools.partial(jax.jit, static_argnames=("k", "block", "nblocks",
+                                             "approx"))
+def _topk_scan_device(queries, docs, k, block, nblocks, approx=False,
+                      scale=None):
     """Streaming top-k over a DEVICE-RESIDENT corpus, all inside one jit:
     lax.scan over ``nblocks`` dynamic_slice blocks with a running-top-k
     carry. This is the large-corpus serving path — the host-merge loop in
@@ -116,8 +118,16 @@ def _topk_scan_device(queries, docs, k, block, nblocks, approx=False):
         best_s, best_i = carry
         start = jnp.minimum(b * block, n - block)
         blk = jax.lax.dynamic_slice(docs, (start, 0), (block, d))
+        if scale is not None:
+            # int8 corpus rows: dequantize the block transient only (the
+            # stored corpus stays 1 byte/dim — 2x the doc capacity of
+            # bf16 per chip); fold the per-row scale into the scores
+            blk = blk.astype(queries.dtype)
         s = jnp.einsum("qd,nd->qn", queries, blk,
                        preferred_element_type=jnp.float32)
+        if scale is not None:
+            sblk = jax.lax.dynamic_slice(scale, (start,), (block,))
+            s = s * sblk[None, :].astype(jnp.float32)
         gidx = start + jnp.arange(block, dtype=jnp.int32)
         s = jnp.where(gidx[None, :] >= b * block, s, neg)
         if approx:
@@ -142,13 +152,37 @@ def _topk_scan_device(queries, docs, k, block, nblocks, approx=False):
     return gs, gi
 
 
-def device_corpus(docs: np.ndarray, dtype=jnp.bfloat16) -> jax.Array:
-    """Upload a corpus once for serving, optionally down-cast to bf16:
-    the reference's 8.8M x 768 fp32 store is 27 GB (tasks/evaluator.py:45,
-    408) — too big for one chip's 16 GB HBM — but bf16 is 13.5 GB and FITS,
-    making single-chip 8.8M-doc exact MIPS possible. Scores still
-    accumulate in f32 on the MXU (preferred_element_type); only embedding
-    rounding changes, so ranking deltas are confined to near-exact ties."""
+class Int8Corpus(NamedTuple):
+    """Device corpus quantized to one byte/dim with a per-row scale —
+    HALF the HBM of bf16, so ~17.6M x 768 docs fit one v5e chip (2x the
+    reference's full 8.8M corpus, which itself needs an 8-GPU faiss shard
+    at fp32 — tasks/evaluator.py:372-400)."""
+    codes: jax.Array     # [N, d] int8 (row / scale, rounded)
+    scale: jax.Array     # [N] f32  (row abs-max / 127)
+
+
+def device_corpus(docs: np.ndarray, dtype=jnp.bfloat16,
+                  chunk: int = 1_000_000):
+    """Upload a corpus once for serving, optionally down-cast: bf16 makes
+    the reference's 8.8M x 768 fp32 store (27 GB, tasks/evaluator.py:45,
+    408) fit one chip's 16 GB HBM at 13.5 GB; ``dtype=jnp.int8`` stores
+    per-row-scaled int8 rows (:class:`Int8Corpus`, 6.8 GB) for 2x the doc
+    capacity. Scores always accumulate in f32 on the MXU
+    (preferred_element_type); quantization only perturbs near-exact ties
+    (int8: ~0.4% element error — validated top-k overlap in
+    tests/test_eval.py). Host-side quantization streams in ``chunk`` rows
+    to bound peak memory."""
+    if dtype == jnp.int8:
+        x = np.asarray(docs)
+        n = x.shape[0]
+        codes = np.empty(x.shape, np.int8)
+        scale = np.empty((n,), np.float32)
+        for s in range(0, n, chunk):
+            blk = np.asarray(x[s:s + chunk], np.float32)
+            sc = np.maximum(np.abs(blk).max(axis=1) / 127.0, 1e-12)
+            codes[s:s + chunk] = np.rint(blk / sc[:, None]).astype(np.int8)
+            scale[s:s + chunk] = sc
+        return Int8Corpus(jnp.asarray(codes), jnp.asarray(scale))
     return jnp.asarray(np.asarray(docs), dtype)
 
 
@@ -160,10 +194,18 @@ def dense_topk(queries: np.ndarray, docs: np.ndarray, k: int,
     merges on host; mesh path shards docs over 'data' inside one jit.
     Pass ``docs`` as a :func:`device_corpus` bf16 array for the
     single-chip large-corpus serving case."""
+    scale = None
+    if isinstance(docs, Int8Corpus):
+        docs, scale = docs.codes, docs.scale
+        if mesh is not None:
+            raise NotImplementedError(
+                "Int8Corpus is the single-chip capacity path; use a bf16 "
+                "device_corpus with the mesh (it already shards)")
     n = docs.shape[0]
     k = min(k, n)
     on_device = isinstance(docs, jax.Array)
-    qdtype = docs.dtype if on_device else jnp.float32
+    qdtype = (jnp.bfloat16 if scale is not None
+              else docs.dtype if on_device else jnp.float32)
     queries = jnp.asarray(queries, qdtype)
 
     if mesh is not None and n % mesh.shape[DATA_AXIS] == 0:
@@ -184,7 +226,7 @@ def dense_topk(queries: np.ndarray, docs: np.ndarray, k: int,
                 block = -(-n // (nblocks * _TILE)) * _TILE
         nblocks = -(-n // block)
         gs, gi = _topk_scan_device(queries, docs, k, block, nblocks,
-                                   approx=approx)
+                                   approx=approx, scale=scale)
         return np.asarray(gs), np.asarray(gi).astype(np.int64)
 
     best_s = np.full((queries.shape[0], k), -np.inf, np.float32)

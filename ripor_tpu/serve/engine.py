@@ -276,7 +276,7 @@ class DenseEngine(BaseEngine):
                  approx: bool = False, dtype=None):
         import jax
         import jax.numpy as jnp
-        from ripor_tpu.evaluation.retriever import device_corpus
+        from ripor_tpu.evaluation.retriever import Int8Corpus, device_corpus
         from ripor_tpu.models import RiporModel
 
         self.cfg = cfg
@@ -284,7 +284,8 @@ class DenseEngine(BaseEngine):
         self._docids = list(docids)
         self._params = params
         self._approx = approx
-        self._corpus = (corpus if isinstance(corpus, jax.Array)
+        self._corpus = (corpus
+                        if isinstance(corpus, (jax.Array, Int8Corpus))
                         else device_corpus(corpus))
         model = RiporModel(cfg, dtype=dtype or jnp.bfloat16)
         self._rep = jax.jit(lambda p, i, m: model.apply(

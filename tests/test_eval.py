@@ -129,6 +129,40 @@ def test_dense_topk_blocked_merge():
     np.testing.assert_array_equal(i, want_i)
 
 
+def test_dense_topk_int8_corpus():
+    """Int8Corpus (1 byte/dim + per-row scale: 2x bf16's doc capacity per
+    chip) must agree with exact f32 MIPS up to quantization near-ties:
+    identical top-1 and >= 90% top-10 overlap on a random corpus."""
+    import jax.numpy as jnp
+
+    from ripor_tpu.evaluation.retriever import Int8Corpus, device_corpus
+
+    rng = np.random.default_rng(9)
+    q = rng.standard_normal((6, 32)).astype(np.float32)
+    d = rng.standard_normal((600, 32)).astype(np.float32)
+    c8 = device_corpus(d, dtype=jnp.int8, chunk=250)  # exercises chunking
+    assert isinstance(c8, Int8Corpus) and c8.codes.dtype == jnp.int8
+    s8, i8 = dense_topk(q, c8, k=10)
+    brute = q @ d.T
+    want_i = np.argsort(-brute, axis=1)[:, :10]
+    np.testing.assert_array_equal(i8[:, 0], want_i[:, 0])
+    overlap = np.mean([len(set(a) & set(b)) / 10.0
+                       for a, b in zip(i8, want_i)])
+    assert overlap >= 0.9, overlap
+    # scores reproduce the true IP within int8 rounding
+    true_s = np.take_along_axis(brute, np.asarray(i8), axis=1)
+    np.testing.assert_allclose(s8, true_s, rtol=0.05, atol=0.05)
+    # mesh path rejects the int8 capacity corpus explicitly
+    import pytest as _pt
+    import jax as _jax
+    if len(_jax.devices()) >= 2:
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(_jax.devices()[:2]).reshape(2, 1),
+                    ("data", "model"))
+        with _pt.raises(NotImplementedError):
+            dense_topk(q, c8, k=5, mesh=mesh)
+
+
 def test_dense_topk_on_mesh(mesh8):
     rng = np.random.default_rng(2)
     q = rng.standard_normal((4, 8)).astype(np.float32)

@@ -11,7 +11,10 @@ dynamic_update_slice) because this image's host->device relay moves
 ~10-25 MB/s — a 13.5 GB upload would measure the relay, not the design.
 Real TPU VMs load a corpus of this size from disk in seconds.
 
-Env: DENSE_DOCS (8_800_000), DENSE_D (768), DENSE_Q (256), DENSE_K (100).
+Env: DENSE_DOCS (8_800_000), DENSE_D (768), DENSE_Q (256), DENSE_K (100),
+DENSE_QUANT=int8 (Int8Corpus capacity mode: 1 byte/dim + per-row scale —
+6.8 GB at 8.8M docs, and 17.6M x 768 docs fit ONE chip: 2x the reference's
+full corpus; try DENSE_DOCS=17600000 DENSE_QUANT=int8).
 """
 import json
 import os
@@ -41,10 +44,17 @@ CHUNK = min(CHUNK, n_docs)  # small-corpus runs: one fill covers everything
 # f32 scores) so corpus 13.5 GB + transients stay under 16 GB HBM
 BLOCK = int(os.environ.get("DENSE_BLOCK", 1 << 19))
 APPROX = os.environ.get("DENSE_APPROX", "0") == "1"  # approx_max_k serving mode
+QUANT = os.environ.get("DENSE_QUANT", "")            # "int8" = Int8Corpus
+
+cdtype = jnp.int8 if QUANT == "int8" else jnp.bfloat16
 
 
 def _fill(buf, key, start):
-    blk = jax.random.normal(key, (CHUNK, d), jnp.bfloat16)
+    if QUANT == "int8":
+        blk = jax.random.randint(key, (CHUNK, d), -127, 128, jnp.int32
+                                 ).astype(jnp.int8)
+    else:
+        blk = jax.random.normal(key, (CHUNK, d), jnp.bfloat16)
     return jax.lax.dynamic_update_slice(buf, blk, (start, 0))
 
 
@@ -53,7 +63,7 @@ _fill_d = jax.jit(_fill, donate_argnums=(0,))
 t0 = time.time()
 # exact-size buffer; the tail fill overlaps the previous chunk (same chunk
 # shape -> one compiled fill; a pad-then-slice would COPY the 14 GB buffer)
-corpus = jnp.zeros((n_docs, d), jnp.bfloat16)
+corpus = jnp.zeros((n_docs, d), cdtype)
 key = jax.random.PRNGKey(0)
 starts = list(range(0, n_docs - CHUNK + 1, CHUNK))
 if starts[-1] + CHUNK < n_docs:
@@ -62,9 +72,13 @@ for s0 in starts:
     key, sub = jax.random.split(key)
     corpus = _fill_d(corpus, sub, s0)
 np.asarray(corpus[0, :1])  # fence
-gb = n_docs * d * 2 / 1e9
+gb = n_docs * d * jnp.dtype(cdtype).itemsize / 1e9
+if QUANT == "int8":
+    from ripor_tpu.evaluation.retriever import Int8Corpus
+    scale = jnp.full((n_docs,), 1.0 / 127.0, jnp.float32)
+    corpus = Int8Corpus(corpus, scale)
 print(f"# corpus synthesized on-device {time.time()-t0:.1f}s "
-      f"({gb:.1f} GB bf16)", file=sys.stderr)
+      f"({gb:.1f} GB {QUANT or 'bf16'})", file=sys.stderr)
 
 rng = np.random.default_rng(0)
 queries = rng.standard_normal((n_q, d)).astype(np.float32)
@@ -86,6 +100,7 @@ print(f"# steady-state {per*1000:.1f} ms / {n_q} queries "
 print(json.dumps({
     "metric": "dense_mips_queries_per_sec",
     "value": round(qps, 1),
-    "unit": f"qps@top{k}_{n_docs}docs_d{d}_bf16_1chip_" + ("approx" if APPROX else "exact"),
+    "unit": (f"qps@top{k}_{n_docs}docs_d{d}_{QUANT or 'bf16'}_1chip_"
+             + ("approx" if APPROX else "exact")),
     "vs_baseline": None,
 }))

@@ -27,11 +27,28 @@ HBM = 16e9
 SCALE_COLS = 128
 
 
-def cache_bytes(t5, batch, beam_pad, mc, quant, tp):
+def cache_bytes(t5, batch, beam_pad, mc, quant, tp, segments=4):
+    """Peak cache bytes: the ping-pong PAIR at full length, PLUS the
+    segment-transition transient — at the boundary between growing cache
+    segments the old pair and the padded new pair are alive simultaneously
+    (measured: this is what OOMs t5-base b16 and t5-3b b1 at segments=4;
+    bench.py's BENCH_SEGMENTS=1 trades it for full-length reads)."""
     F = t5.num_heads * t5.d_kv // tp
     rw = {None: 2 * F * 2, "int8": 2 * F + SCALE_COLS,
           "int4": F + SCALE_COLS}[quant]           # bytes per row element row
-    return 2 * t5.num_decoder_layers * batch * beam_pad * mc * rw
+    row = t5.num_decoder_layers * batch * beam_pad * rw
+
+    def ceil8(x):
+        return -8 * (-x // 8)
+
+    M = 32
+    bounds = sorted(set(round(M * (s + 1) / segments)
+                        for s in range(segments)))
+    bufs = [min(ceil8(b), mc) for b in bounds]
+    peak_pair = 2 * row * bufs[-1]
+    transition = max((2 * row * (a + b)
+                      for a, b in zip(bufs, bufs[1:])), default=peak_pair)
+    return max(peak_pair, transition)
 
 
 def param_bytes(t5, M, K, tp):
@@ -65,16 +82,23 @@ def main():
             for tp in (1, 2, 4):
                 # find max batch that fits
                 best = 0
-                for b in (1, 2, 4, 8, 16, 32):
+                for b in (1, 2, 4, 6, 8, 12, 16, 32):
                     pb = param_bytes(t5, 32, 256, tp)
-                    cb = cache_bytes(t5, b, beam_pad, args.mc, quant, tp)
-                    tot = pb + cb + tables + 0.5e9   # 0.5 GB workspace
-                    if tot < HBM:
-                        best, bpb, bcb, btot = b, pb, cb, tot
+                    # prefer the fastest segmenting that fits: segments=4
+                    # cuts steady traffic ~40% but its transition transient
+                    # (old+new ping-pong pairs alive) may OOM — fall back
+                    # to fewer, larger segments (slower, smaller peak)
+                    for s in (4, 2, 1):
+                        cb = cache_bytes(t5, b, beam_pad, args.mc, quant,
+                                         tp, segments=s)
+                        tot = pb + cb + tables + 0.5e9  # 0.5 GB workspace
+                        if tot < HBM:
+                            best, bpb, bcb, btot, bseg = b, pb, cb, tot, s
+                            break
                 if best:
                     print(f"{name:8} {quant or 'bf16':5} {tp:>2} {best:>5} "
                           f"{bpb/1e9:>6.1f}G {bcb/1e9:>6.1f}G "
-                          f"{btot/1e9:>6.1f}G  yes")
+                          f"{btot/1e9:>6.1f}G  yes (seg {bseg})")
                 else:
                     print(f"{name:8} {quant or 'bf16':5} {tp:>2} {'-':>5} "
                           f"{'':>7} {'':>7} {'':>7}  NO (b1 overflows)")
