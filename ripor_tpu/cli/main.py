@@ -228,7 +228,10 @@ def cmd_dense_retrieve(args):
         embs, docids = open_mmap(args.mmap_dir, d=args.dim)
         if getattr(args, "device_corpus", False):
             from ripor_tpu.evaluation.retriever import device_corpus
-            corpus = device_corpus(np.asarray(embs))
+            cq = getattr(args, "corpus_quant", "") or None
+            corpus = device_corpus(np.asarray(embs),
+                                   dtype=jnp.int8 if cq == "int8"
+                                   else jnp.bfloat16)
             scores, idx = dense_topk(q_embs, corpus, args.topk,
                                      approx=getattr(args, "approx", False))
         else:
@@ -414,11 +417,14 @@ def cmd_serve(args):
                        max_delay_ms=args.max_delay_ms)
     print(f"warming shapes {scfg.batch_sizes} ...")
     if args.mode == "dense":
+        import jax.numpy as jnp
         from ripor_tpu.data.emb_store import open_mmap
         from ripor_tpu.evaluation.retriever import device_corpus
         embs, docids = open_mmap(args.mmap_dir)
-        engine = DenseEngine(cfg, params, tok,
-                             device_corpus(np.asarray(embs)), docids, scfg,
+        corpus = device_corpus(np.asarray(embs),
+                               dtype=jnp.int8 if args.corpus_quant == "int8"
+                               else jnp.bfloat16)
+        engine = DenseEngine(cfg, params, tok, corpus, docids, scfg,
                              approx=args.approx)
     else:
         docids, codes = load_docid_to_smtid(ws.path("docid_to_smtid.json"))
@@ -536,6 +542,8 @@ def main(argv=None):
                     help="dense mode: doc_embeds.mmap directory")
     ps.add_argument("--approx", action="store_true",
                     help="dense mode: approx_max_k top-k")
+    ps.add_argument("--corpus-quant", default="", choices=["", "int8"],
+                    help="dense mode: int8 device corpus (2x doc capacity)")
     ps.set_defaults(fn=cmd_serve)
 
     prm = sub.add_parser("retrieve-merge",
@@ -622,6 +630,9 @@ def main(argv=None):
     pdr.add_argument("--approx", action="store_true",
                      help="approx_max_k top-k (recall ~0.95, ~12x faster at "
                           "8.8M docs); device-corpus path only")
+    pdr.add_argument("--corpus-quant", default="", choices=["", "int8"],
+                     help="int8 device corpus (1 byte/dim + per-row scale: "
+                          "17.6M x 768 docs on one chip); device-corpus only")
     pdr.set_defaults(fn=cmd_dense_retrieve)
 
     prr = sub.add_parser("rerank", help="cross-encoder teacher scoring")
