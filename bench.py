@@ -84,8 +84,14 @@ def main():
     shapes = jax.eval_shape(
         lambda k: model.init({"params": k}, ids, mask, codes0)["params"],
         jax.random.PRNGKey(0))
+    # serve params in bf16: the decode path computes in bf16 regardless
+    # (f32 params just add a hoisted cast copy + 2x argument HBM — the
+    # difference between t5-3b b1 fitting, 14.9G, and OOMing, 20.6G)
     params = jax.tree.map(
-        lambda s: jnp.asarray(0.02 * rng.standard_normal(s.shape), s.dtype),
+        lambda s: jnp.asarray(
+            0.02 * rng.standard_normal(s.shape),
+            jnp.bfloat16 if jnp.issubdtype(s.dtype, jnp.floating)
+            else s.dtype),
         shapes)
     print(f"# params init {time.time()-t0:.1f}s", file=sys.stderr)
 

@@ -41,6 +41,11 @@ class ServeConfig:
     constrained: bool = True
     max_delay_ms: float = 5.0
     stats_window: int = 10_000          # latency samples kept for percentiles
+    # serve params at the compute dtype ("bfloat16"): decode runs bf16
+    # regardless, so f32 checkpoint params only add a hoisted cast copy and
+    # 2x parameter HBM (it decides whether t5-3b fits a chip). None keeps
+    # the checkpoint dtype (exact-parity audits).
+    param_dtype: Optional[str] = "bfloat16"
 
 
 @dataclass
@@ -218,6 +223,12 @@ class RetrievalEngine(BaseEngine):
         self._tok = tok
         self._trie = trie
         self._docids = list(docids)
+        if serve_cfg.param_dtype:
+            pd = jnp.dtype(serve_cfg.param_dtype)
+            params = jax.tree.map(
+                lambda x: x.astype(pd)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+                params)
         self._params = params
         if mesh is not None:
             # pod serving: queries shard over the mesh 'data' axis (DP

@@ -35,7 +35,8 @@ def tiny_engine():
     docids = [f"d{i}" for i in range(40)]
     tok = HashTokenizer(100)
     scfg = ServeConfig(num_beams=5, topk=7, max_length=6,
-                       batch_sizes=(1, 2, 4), max_delay_ms=50.0)
+                       batch_sizes=(1, 2, 4), max_delay_ms=50.0,
+                       param_dtype=None)   # exact parity vs f32 reference
     eng = RetrievalEngine(cfg, params, tok, trie, docids, scfg)
     return eng, cfg, params, tok, trie, docids
 
@@ -110,7 +111,8 @@ def test_mesh_engine_matches_single_device(tiny_engine, mesh8):
     from ripor_tpu.serve import RetrievalEngine
 
     scfg = ServeConfig(num_beams=5, topk=7, max_length=6,
-                       batch_sizes=(4,), max_delay_ms=50.0)
+                       batch_sizes=(4,), max_delay_ms=50.0,
+                       param_dtype=None)
     mesh_eng = RetrievalEngine(cfg, params, tok, trie, docids, scfg,
                                mesh=mesh8)
     got = mesh_eng.retrieve_batch(QUERIES[:3])   # pads 3 -> rung 4
