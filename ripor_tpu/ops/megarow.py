@@ -77,12 +77,6 @@ SEQ_MODE = os.environ.get("RIPOR_MR_SEQ", "manual")
 # stay in flight (the 2-slot version measured 293 GB/s combined vs the 433
 # ceiling — not enough DMA depth at 8 descriptors/cell)
 NSLOTS = int(os.environ.get("RIPOR_MR_NSLOTS", "4"))
-# slot-(t-1) insert mode in the reorder kernel: "rmw" = aligned-8-window
-# read-modify-write in VMEM (default; a direct unaligned vector store fails
-# Mosaic's sublane-alignment proof), "dma" = small VMEM->VMEM async copy at
-# the dynamic slot offset (DMA descriptors take arbitrary offsets) — trades
-# the window's VPU load+select+store for one in-cell DMA wait
-INS_MODE = os.environ.get("RIPOR_MR_INS", "rmw")
 # ablation instrumentation (tools/bench_decode_ablate.py mr_dma_stub): shrink
 # kernel B's row reads to an [8, 128] corner per beam group — keeps the
 # descriptor count and the full attention math (on stale buffer contents) so
@@ -111,9 +105,9 @@ def pick_layer_group(L: int, Mc: int, RW: int, isz: int,
 
 
 def _reorder_kernel(src_ref, tt_ref, kvg_ref, cache_ref, dst_ref,
-                    cache_out_ref, buf, isems, osems, ins_buf, ins_sem, *,
-                    num_heads: int, quant: "str | None", kvg_pre: bool,
-                    chunk: int, lg: int, pipelined: bool):
+                    cache_out_ref, buf, isems, osems, *, num_heads: int,
+                    quant: "str | None", kvg_pre: bool, chunk: int, lg: int,
+                    pipelined: bool):
     """Grid cell: gather ``chunk`` beams' [lg, Mc, RW] row blocks by src,
     insert kvg at slot t-1, write the ordered slab back. Reads for the
     next NSLOTS-1 cells revolve through the buffer slots (2-slot double
@@ -205,21 +199,11 @@ def _reorder_kernel(src_ref, tt_ref, kvg_ref, cache_ref, dst_ref,
     # harmless — slots >= t are bias-masked and slot 0 is properly written
     # at t=1.
     tm = jnp.maximum(t - 1, 0)
-    if INS_MODE == "dma":
-        # VMEM->VMEM descriptor at the dynamic slot offset: skips the
-        # aligned window's VPU load+select+store (DMA offsets need no
-        # sublane-alignment proof)
-        ins_buf[...] = ins
-        cp = pltpu.make_async_copy(ins_buf, buf.at[cur, :, :, pl.ds(tm, 1)],
-                                   ins_sem)
-        cp.start()
-        cp.wait()
-    else:
-        base = pl.multiple_of((tm // 8) * 8, 8)
-        win = buf[cur, :, :, pl.ds(base, 8), :]
-        slot_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8, 1), 2)
-        buf[cur, :, :, pl.ds(base, 8), :] = jnp.where(slot_w == tm - base,
-                                                      ins, win)
+    base = pl.multiple_of((tm // 8) * 8, 8)
+    win = buf[cur, :, :, pl.ds(base, 8), :]
+    slot_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8, 1), 2)
+    buf[cur, :, :, pl.ds(base, 8), :] = jnp.where(slot_w == tm - base,
+                                                  ins, win)
     pltpu.make_async_copy(
         buf.at[cur],
         cache_out_ref.at[b, pl.ds(c * chunk, chunk), pl.ds(g * lg, lg)],
@@ -300,8 +284,6 @@ def reorder_cache_all(kvg, cache_src, cache_dst, src, t, num_heads: int,
             pltpu.VMEM((NSLOTS, chunk, lg, Mc, RW), cache_src.dtype),
             pltpu.SemaphoreType.DMA((NSLOTS,)),
             pltpu.SemaphoreType.DMA((NSLOTS,)),
-            pltpu.VMEM((chunk, lg, 1, RW), cache_src.dtype),
-            pltpu.SemaphoreType.DMA,
         ],
     )
     new_cache = pl.pallas_call(
