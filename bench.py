@@ -117,9 +117,14 @@ def main():
     # 8.03 qps (b12) / 7.95 (b8) vs 7.16-7.34 for the per-layer deferred
     # kernel at the same config (BENCH_MEGAROW=0 compares the old path)
     megarow = os.environ.get("BENCH_MEGAROW", "1") == "1"
+    # BENCH_FFN_INT8=1: int8-weight FFN dots (ops/int8_ffn.py) — int8 MXU
+    # runs 2x bf16 on v5e; affects output numerics, so it stays opt-in
+    # until validated e2e (tools/validate_int8_e2e.py pattern)
+    ffn_int8 = os.environ.get("BENCH_FFN_INT8", "0") == "1"
     run = make_beam_search_fn(cfg, num_beams, constrained=True,
                               dtype=jnp.bfloat16, kv_cache_quant=quant,
-                              cache_segments=segments, megarow=megarow)
+                              cache_segments=segments, megarow=megarow,
+                              ffn_int8=ffn_int8)
 
     # warmup / compile. NOTE: block_until_ready does not synchronize through
     # this image's remote-execution relay — np.asarray (host transfer) is the
@@ -146,7 +151,8 @@ def main():
         "metric": "constrained_beam_queries_per_sec",
         "value": round(qps, 3),
         "unit": (f"qps@beam{num_beams}_{backbone.replace('-', '')}_{M}x{K}"
-                 f"_{n_docs}docs_1chip" + (f"_{quant}kv" if quant else "")),
+                 f"_{n_docs}docs_1chip" + (f"_{quant}kv" if quant else "")
+                 + ("_int8ffn" if ffn_int8 else "")),
         "vs_baseline": round(qps / baseline_qps, 3),
     }))
 

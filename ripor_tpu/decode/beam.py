@@ -164,7 +164,8 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                         kv_cache_int8: bool = False,
                         kv_cache_quant: Optional[str] = None,
                         kvg_quant_xla: Optional[bool] = None,
-                        megarow: Optional[bool] = None):
+                        megarow: Optional[bool] = None,
+                        ffn_int8: Optional[bool] = None):
     """Build a jitted beam-search function.
 
     Returns fn(params, input_ids, attention_mask, tables)
@@ -212,6 +213,15 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     bandwidth. Default: ON whenever the pallas path is available and the
     segment spans are even (the measured-best TPU path); RIPOR_MEGAROW=0/1
     env overrides. Implies deferred.
+
+    ``ffn_int8``: run the decode-step FFN with per-channel int8 weights and
+    per-row dynamic int8 activations (ops/int8_ffn.py) — int8 MXU dots run
+    2x bf16 on v5e, cutting the FFN block ~23% (tools/bench_int8_mm.py).
+    Weights are quantized once per call, outside the decode scan. Affects
+    model OUTPUT numerics (unlike the KV-cache quant, which only perturbs
+    attention reads) — gate with the tools/validate_int8_e2e.py pattern
+    before trusting rankings. Default: env RIPOR_FFN_INT8 (off). Only the
+    deferred/megarow paths (non-gated FFN, no TP axis).
     """
     M = max_steps or cfg.M
     N = num_beams
@@ -290,6 +300,19 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                              and os.environ.get("RIPOR_KVG_XLA", "0") == "1")
     assert not kvg_quant_xla or kv_cache_int8 or (megarow and quant), \
         "kvg_quant_xla needs a quantized cache"
+    if ffn_int8 is None:
+        import os
+        ffn_int8 = os.environ.get("RIPOR_FFN_INT8", "0") == "1"
+    if ffn_int8:
+        if not deferred:
+            raise ValueError("ffn_int8 requires the deferred/megarow decode "
+                             "path (the only paths that thread ffn_q)")
+        if cfg.t5.is_gated:
+            raise ValueError("ffn_int8 supports only the non-gated T5 v1.0 "
+                             "FFN")
+        if cfg.t5.tp_axis is not None:
+            raise ValueError("ffn_int8 is not wired for TP-sharded decode "
+                             "(row-parallel wo psum) — drop one of the two")
     # The deferred kernel moves whole beam-row chunks; pad the beam axis
     # ONCE to a CHUNK multiple and kill ranks >= N every step (exact
     # width-N semantics) — the kernel's per-call pad fallback would copy
@@ -315,7 +338,6 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             pick_layer_group(cfg.t5.num_decoder_layers, bufs[-1], rw, isz,
                              f2=0 if kvg_quant_xla else 2 * cfg.t5.inner_dim)
 
-    @jax.jit
     def run(params, input_ids, attention_mask, tables):
         B = input_ids.shape[0]
         enc = model.apply({"params": params}, input_ids, attention_mask,
@@ -326,6 +348,13 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             {"params": params}, bufs[-1],
             method=lambda m, n: m.decoder.full_self_bias(n))
         enc_bias = jnp.where(attention_mask > 0, 0.0, NEG_INF).astype(jnp.float32)
+        if ffn_int8:
+            # once per call, OUTSIDE the decode scan (the step closures
+            # capture the int8 tensors, so the quantize is hoisted)
+            from ripor_tpu.ops.int8_ffn import quantize_ffn
+            ffn_q = quantize_ffn(params, cfg.t5.num_decoder_layers)
+        else:
+            ffn_q = None
 
         beam_scores = jnp.full((B, Np), NEG_INF, jnp.float32).at[:, 0].set(0.0)
         state = jnp.zeros((B, Np), jnp.int32)         # all at trie root
@@ -387,7 +416,7 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             logits, new_cache, kv_new = model.apply(
                 {"params": params}, tokens, ca, cb, src_prev, kvg,
                 cross_kv, enc_bias, self_bias, t, write_back, ar_chunk,
-                method=RiporModel.decode_step_deferred)
+                ffn_q, method=RiporModel.decode_step_deferred)
             new_scores, new_state, tok, codes, src = select(
                 beam_scores, state, codes, logits, t)
             if write_back:
@@ -413,7 +442,7 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             from ripor_tpu.ops.beam_gather import beam_gather_rows
             logits, new_cache, kv_new = model.apply(
                 {"params": params}, tokens, ca, cb, src_prev, kvg,
-                cross_kv, enc_bias, self_bias, t, ar_chunk,
+                cross_kv, enc_bias, self_bias, t, ar_chunk, ffn_q,
                 method=RiporModel.decode_step_megarow)
             new_scores, new_state, tok, codes, src = select(
                 beam_scores, state, codes, logits, t)
@@ -562,7 +591,30 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             lo = hi
         return beam_scores, codes, state
 
-    return run
+    jit_run = jax.jit(run)
+    if not deferred or jax.default_backend() != "tpu":
+        return jit_run
+
+    # Toy-sized KV caches (<~32 MB per ping-pong buffer) hit an XLA-TPU
+    # buffer-placement bug on hardware: layout assignment puts the reorder
+    # kernel's aliased output in scoped VMEM (S(1)) and an ~18 MB buffer
+    # blows the 16 MB stack limit AT COMPILE TIME ("It should not be
+    # possible to run out of scoped vmem"). Pallas memory-space constraints
+    # don't reach that allocation; raising the scoped limit for those
+    # compiles does. Production-sized caches (GBs) are never VMEM-placed
+    # and keep byte-identical compiles (no compiler options).
+    jit_run_toy = jax.jit(run, compiler_options={
+        "xla_tpu_scoped_vmem_limit_kib": "40960"})
+    n_layers = cfg.t5.num_decoder_layers
+    rw_bytes = rw * isz
+
+    def dispatch(params, input_ids, attention_mask, tables):
+        B = input_ids.shape[0]
+        cache_bytes = B * Np * n_layers * bufs[-1] * rw_bytes
+        fn = jit_run_toy if cache_bytes < 32 * 1024 * 1024 else jit_run
+        return fn(params, input_ids, attention_mask, tables)
+
+    return dispatch
 
 
 def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,

@@ -243,7 +243,7 @@ class RiporModel(nn.Module):
     def decode_step_deferred(self, tokens, cache_src, cache_dst, src, kvg,
                              cross_kv: CrossKV, enc_bias, self_bias, t,
                              write_back: bool = True,
-                             ar_chunk: Optional[int] = None):
+                             ar_chunk: Optional[int] = None, ffn_q=None):
         """decode_step with the beam reorder deferred one step and fused
         into the attention kernel (Decoder.decode_step_deferred /
         ops/attend_reorder.py). ``tokens`` are the codes chosen at step t-1
@@ -258,7 +258,8 @@ class RiporModel(nn.Module):
         x = jnp.where(t == 0, start, tok_embed)
         hidden, new_cache, kv_new = self.decoder.decode_step_deferred(
             x, cache_src, cache_dst, src, kvg, cross_kv, enc_bias,
-            self_bias, t, write_back=write_back, ar_chunk=ar_chunk)
+            self_bias, t, write_back=write_back, ar_chunk=ar_chunk,
+            ffn_q=ffn_q)
         hidden = self._maybe_scale(hidden)
         logits = jnp.einsum("bnd,kd->bnk", hidden, self._out_books()[t],
                             preferred_element_type=jnp.float32)
@@ -268,7 +269,7 @@ class RiporModel(nn.Module):
 
     def decode_step_megarow(self, tokens, cache_src, cache_dst, src, kvg,
                             cross_kv: CrossKV, enc_bias, self_bias, t,
-                            ar_chunk: Optional[int] = None):
+                            ar_chunk: Optional[int] = None, ffn_q=None):
         """decode_step_deferred over the beam-major megarow cache
         (Decoder.decode_step_megarow / ops/megarow.py): one all-layers
         reorder kernel per step + sequential-read attention per layer.
@@ -283,7 +284,7 @@ class RiporModel(nn.Module):
         x = jnp.where(t == 0, start, tok_embed)
         hidden, new_cache, kv_new = self.decoder.decode_step_megarow(
             x, cache_src, cache_dst, src, kvg, cross_kv, enc_bias,
-            self_bias, t, ar_chunk=ar_chunk)
+            self_bias, t, ar_chunk=ar_chunk, ffn_q=ffn_q)
         hidden = self._maybe_scale(hidden)
         logits = jnp.einsum("bnd,kd->bnk", hidden, self._out_books()[t],
                             preferred_element_type=jnp.float32)

@@ -166,14 +166,21 @@ class DecoderLayer(nn.Module):
         return self.step_finish_with_attn(x, attn.reshape(
             x.shape[0], x.shape[1], self.cfg.inner_dim), enc_k, enc_v, enc_bias)
 
-    def step_finish_with_attn(self, x, attn_flat, enc_k, enc_v, enc_bias):
+    def step_finish_with_attn(self, x, attn_flat, enc_k, enc_v, enc_bias,
+                              ffn_q=None):
         """Residual + output proj for a precomputed self-attention result
-        [B, N, inner_dim] (pallas step_attention path), then cross + FFN."""
+        [B, N, inner_dim] (pallas step_attention path), then cross + FFN.
+        ``ffn_q``: optional (wi_q, wi_s, wo_q, wo_s) int8 FFN weights for
+        THIS layer (ops/int8_ffn.py) — replaces the bf16 FFN matmuls with
+        int8 MXU dots (2x rate on v5e)."""
         x = x + self.self_attn.out_flat(attn_flat)
         h = self.cross_attn_norm(x)
         cq = self.cross_attn.project_q(h)
         attn = _step_cross_attention(cq, enc_k, enc_v, enc_bias, self.dtype)
         x = x + self._proj_out_cross(attn)
+        if ffn_q is not None:
+            from ripor_tpu.ops.int8_ffn import ffn_int8_apply
+            return x + ffn_int8_apply(self.ffn_norm(x), *ffn_q)
         x = x + self.ffn(self.ffn_norm(x), deterministic=True)
         return x
 
@@ -299,7 +306,8 @@ class Decoder(nn.Module):
 
     def decode_step_deferred(self, x, cache_src, cache_dst, src, kvg,
                              cross_kv: CrossKV, enc_bias, self_bias_full, t,
-                             write_back: bool = True, ar_chunk=None):
+                             write_back: bool = True, ar_chunk=None,
+                             ffn_q=None):
         """TPU decode step with the beam reorder DEFERRED one step and fused
         into the attention kernel (ops/attend_reorder.py): per layer, rows
         are gathered from ``cache_src`` by ``src`` (previous step's beam
@@ -339,7 +347,9 @@ class Decoder(nn.Module):
                 qf, kvf, kvg, cache_src, cache, src, l, t,
                 bias_hist, bias_new, cfg.num_heads, write_back=write_back,
                 chunk=ar_chunk)
-            x = layer.step_finish_with_attn(x, attn, enc_k, enc_v, enc_bias)
+            lq = None if ffn_q is None else tuple(a[l] for a in ffn_q)
+            x = layer.step_finish_with_attn(x, attn, enc_k, enc_v, enc_bias,
+                                            ffn_q=lq)
             kvnews.append(kvf)
         kv_new = jnp.stack(kvnews, axis=2).reshape(B, N, -1)
         return self.final_norm(x), cache, kv_new
@@ -362,7 +372,7 @@ class Decoder(nn.Module):
 
     def decode_step_megarow(self, x, cache_src, cache_dst, src, kvg,
                             cross_kv: CrossKV, enc_bias, self_bias_full, t,
-                            ar_chunk=None):
+                            ar_chunk=None, ffn_q=None):
         """TPU decode step over the beam-major megarow cache: ONE all-layers
         reorder kernel completes the deferred beam permutation (+ slot t-1
         insert) up front, then each layer's attention streams its already
@@ -393,7 +403,9 @@ class Decoder(nn.Module):
                                    v.reshape(B, N, -1)], axis=-1)
             attn = step_attention_seq(qf, kvf, cache, l, bias_hist, bias_new,
                                       cfg.num_heads, chunk=ar_chunk)
-            x = layer.step_finish_with_attn(x, attn, enc_k, enc_v, enc_bias)
+            lq = None if ffn_q is None else tuple(a[l] for a in ffn_q)
+            x = layer.step_finish_with_attn(x, attn, enc_k, enc_v, enc_bias,
+                                            ffn_q=lq)
             kvnews.append(kvf)
         kv_new = jnp.stack(kvnews, axis=2).reshape(B, N, -1)
         return self.final_norm(x), cache, kv_new

@@ -545,3 +545,55 @@ def test_megarow_kvg_xla_bit_identical():
     np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_ffn_int8_apply_close_to_exact():
+    """ops/int8_ffn: the int8-weight FFN must track the exact FFN within
+    int8 quantization error (per-channel weights + per-row activations
+    keep the relative error ~1% at these widths)."""
+    from ripor_tpu.ops.int8_ffn import ffn_int8_apply, quantize_ffn
+
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=4, K=8)
+    L = cfg.t5.num_decoder_layers
+    ffn_q = jax.tree.map(np.asarray, quantize_ffn(params, L))
+    rng = np.random.default_rng(1)
+    h = jnp.asarray(rng.standard_normal((3, 5, cfg.t5.d_model)), jnp.float32)
+    for l in range(L):
+        wi = np.asarray(params["decoder"][f"layer_{l}"]["ffn"]["wi"]["kernel"],
+                        np.float32)
+        wo = np.asarray(params["decoder"][f"layer_{l}"]["ffn"]["wo"]["kernel"],
+                        np.float32)
+        exact = np.maximum(np.asarray(h).reshape(-1, wi.shape[0]) @ wi, 0) @ wo
+        got = np.asarray(ffn_int8_apply(
+            h, *(jnp.asarray(a[l]) for a in ffn_q))).reshape(exact.shape)
+        denom = np.maximum(np.abs(exact).max(), 1e-6)
+        assert np.abs(got - exact).max() / denom < 0.03, \
+            (l, np.abs(got - exact).max() / denom)
+
+
+def test_megarow_ffn_int8_retrieval_robust():
+    """ffn_int8 decode e2e vs the exact XLA path: the top beam must agree
+    and the retrieved code sets must overlap to within one element (same
+    gate as the int4-cache test — FFN int8 perturbs output logits ~1%)."""
+    from ripor_tpu.decode.beam import make_beam_search_fn
+    from ripor_tpu.trie.succinct import succinct_tables
+
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=6, K=8, n_docs=40)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+    ref_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                                 use_pallas_gather=False, deferred=False)
+    q_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                               use_pallas_gather=False, megarow=True,
+                               cache_segments=3, ffn_int8=True)
+    s0, c0, st0 = ref_fn(params, ids, mask, tables)
+    s1, c1, st1 = q_fn(params, ids, mask, tables)
+    s0, s1 = np.asarray(s0), np.asarray(s1)
+    c0, c1 = np.asarray(c0), np.asarray(c1)
+    np.testing.assert_array_equal(c0[:, 0], c1[:, 0])
+    live = s0 > -1e29
+    np.testing.assert_allclose(s1[live], s0[live], rtol=0.05, atol=0.25)
+    for b in range(s0.shape[0]):
+        set0 = {tuple(r) for r, sc in zip(c0[b], s0[b]) if sc > -1e29}
+        set1 = {tuple(r) for r, sc in zip(c1[b], s1[b]) if sc > -1e29}
+        assert len(set0 & set1) >= min(len(set0), len(set1)) - 1, \
+            (b, set0, set1)
