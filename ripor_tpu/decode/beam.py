@@ -30,6 +30,15 @@ from ripor_tpu.models.ripor import RiporModel
 
 NEG_INF = -1e30
 
+# Toy-sized KV caches (total ping-pong buffer below this) hit an XLA-TPU
+# buffer-placement bug on hardware — layout assignment stack-allocates the
+# reorder kernel's aliased output in scoped VMEM and an ~18 MB buffer fails
+# the 16 MB limit at COMPILE time. Such shapes compile with a raised limit;
+# production-sized caches are never VMEM-placed and keep byte-identical
+# compiles (no options). See make_beam_search_fn's dispatch.
+_TOY_CACHE_BYTES = 32 * 1024 * 1024
+_TOY_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "40960"}
+
 
 @dataclasses.dataclass
 class BeamSearchOutput:
@@ -595,25 +604,21 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     if not deferred or jax.default_backend() != "tpu":
         return jit_run
 
-    # Toy-sized KV caches (<~32 MB per ping-pong buffer) hit an XLA-TPU
-    # buffer-placement bug on hardware: layout assignment puts the reorder
-    # kernel's aliased output in scoped VMEM (S(1)) and an ~18 MB buffer
-    # blows the 16 MB stack limit AT COMPILE TIME ("It should not be
-    # possible to run out of scoped vmem"). Pallas memory-space constraints
-    # don't reach that allocation; raising the scoped limit for those
-    # compiles does. Production-sized caches (GBs) are never VMEM-placed
-    # and keep byte-identical compiles (no compiler options).
-    jit_run_toy = jax.jit(run, compiler_options={
-        "xla_tpu_scoped_vmem_limit_kib": "40960"})
+    # toy-size scoped-vmem workaround — see _TOY_CACHE_BYTES
+    jit_run_toy = jax.jit(run, compiler_options=_TOY_COMPILER_OPTIONS)
     n_layers = cfg.t5.num_decoder_layers
     rw_bytes = rw * isz
 
     def dispatch(params, input_ids, attention_mask, tables):
         B = input_ids.shape[0]
         cache_bytes = B * Np * n_layers * bufs[-1] * rw_bytes
-        fn = jit_run_toy if cache_bytes < 32 * 1024 * 1024 else jit_run
+        fn = jit_run_toy if cache_bytes < _TOY_CACHE_BYTES else jit_run
         return fn(params, input_ids, attention_mask, tables)
 
+    # per-query cache-buffer footprint, exported so the SHARDED wrapper
+    # (whose own outer jit is the one XLA compiles — inner compiler options
+    # do not survive inlining) can apply the same toy-size dispatch
+    dispatch._cache_bytes_per_query = Np * n_layers * bufs[-1] * rw_bytes
     return dispatch
 
 
@@ -645,8 +650,7 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
                                 kv_cache_quant=kv_cache_quant,
                                 megarow=megarow)
 
-    @jax.jit
-    def _run(params, input_ids, attention_mask, tables):
+    def _sharded(params, input_ids, attention_mask, tables):
         return shard_map(
             lambda p, i, m, tb: inner(p, i, m, tb),
             mesh=mesh,
@@ -654,6 +658,14 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
             out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
             check_vma=False,
         )(params, input_ids, attention_mask, tables)
+
+    _run = jax.jit(_sharded)
+    # this OUTER jit is the program XLA actually compiles — the inner
+    # dispatch's compiler options do not survive inlining, so mirror the
+    # toy-cache scoped-vmem workaround here (see make_beam_search_fn)
+    per_q = getattr(inner, "_cache_bytes_per_query", None)
+    _run_toy = (jax.jit(_sharded, compiler_options=_TOY_COMPILER_OPTIONS)
+                if per_q is not None else None)
 
     ndata = mesh.shape[DATA_AXIS]
 
@@ -663,7 +675,11 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
                 f"query batch {input_ids.shape[0]} must divide the 'data' "
                 f"axis ({ndata}); pad ragged batches with "
                 f"pad_batch_to_data_axis() and drop the padded results")
-        return _run(params, input_ids, attention_mask, tables)
+        fn = _run
+        if (per_q is not None
+                and (input_ids.shape[0] // ndata) * per_q < _TOY_CACHE_BYTES):
+            fn = _run_toy
+        return fn(params, input_ids, attention_mask, tables)
 
     return run
 
