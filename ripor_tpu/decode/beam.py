@@ -307,8 +307,9 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
         else:
             kvg_quant_xla = (kv_cache_int8
                              and os.environ.get("RIPOR_KVG_XLA", "0") == "1")
-    assert not kvg_quant_xla or kv_cache_int8 or (megarow and quant), \
-        "kvg_quant_xla needs a quantized cache"
+    if kvg_quant_xla and not (kv_cache_int8 or (megarow and quant)):
+        raise ValueError("kvg_quant_xla needs a quantized cache "
+                         "(kv_cache_quant='int8'/'int4')")
     if ffn_int8 is None:
         import os
         ffn_int8 = os.environ.get("RIPOR_FFN_INT8", "0") == "1"
@@ -515,7 +516,11 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                 jnp.arange(Np, dtype=jnp.int32)[None, :], (B, Np))
             if kvg_quant_xla:
                 # pre-quantized kvg rides in cache-row layout (int8 rows
-                # incl. scale cols); zero rows dequantize to exact zeros
+                # incl. scale cols). These t=0 placeholder rows are NEVER
+                # read (slots >= t are bias-masked, and slot 0 is rewritten
+                # at t=1) — int4 zero bytes would otherwise dequantize to
+                # ±8·scale, not zero (same note as ops/megarow.py
+                # _reorder_kernel)
                 kvg = jnp.zeros((B, Np, n_layers * cache.shape[4]),
                                 jnp.int8)
             else:

@@ -41,6 +41,15 @@ class ServeConfig:
     constrained: bool = True
     max_delay_ms: float = 5.0
     stats_window: int = 10_000          # latency samples kept for percentiles
+    # opt-in device tracing via GET /profile. Off by default: the endpoint
+    # occupies a handler thread for the capture window and writes to local
+    # disk, so it must be an operator decision, not a client capability.
+    # Traces always land under profile_dir (client cannot choose the path).
+    enable_profile: bool = False
+    profile_dir: str = "/tmp/ripor_trace"
+    # how long stop() waits for the in-flight device batch before logging
+    # that the batcher is wedged (a beam-1000 batch can take tens of seconds)
+    stop_join_timeout_s: float = 300.0
     # serve params at the compute dtype ("bfloat16"): decode runs bf16
     # regardless, so f32 checkpoint params only add a hoisted cast copy and
     # 2x parameter HBM (it decides whether t5-3b fits a chip). None keeps
@@ -117,10 +126,19 @@ class BaseEngine:
     def stop(self):
         """Stop the batcher and FAIL any still-queued requests (a future
         that never resolves deadlocks its client; production shutdown must
-        drain deterministically)."""
+        drain deterministically). Waits for the in-flight device batch to
+        finish before draining the queue — draining while the batcher still
+        runs would race it (requests could be served after stop() returns)."""
         self._stop.set()
         if self._thread is not None:
-            self._thread.join(timeout=10.0)
+            self._thread.join(timeout=self.scfg.stop_join_timeout_s)
+            if self._thread.is_alive():
+                import logging
+                logging.getLogger(__name__).error(
+                    "batcher did not exit within %.0fs; a device call is "
+                    "likely wedged — queued requests will be failed but the "
+                    "in-flight batch may still complete",
+                    self.scfg.stop_join_timeout_s)
         while True:
             try:
                 req = self._q.get_nowait()

@@ -14,9 +14,14 @@ offline run.json writer (/root/reference/t5_pretrainer/evaluate.py:489-526).
 from __future__ import annotations
 
 import json
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from ripor_tpu.serve.engine import RetrievalEngine
+
+# only one device trace may run at a time (jax.profiler.start_trace raises
+# on concurrent starts; two handler threads must not race it)
+_PROFILE_LOCK = threading.Lock()
 
 
 def _make_handler(engine: RetrievalEngine):
@@ -39,16 +44,38 @@ def _make_handler(engine: RetrievalEngine):
                 self._json(200, engine.stats())
             elif self.path.startswith("/profile"):
                 # capture a device trace while live traffic runs (view with
-                # tensorboard / xprof): /profile?ms=2000&dir=/tmp/ripor_trace
+                # tensorboard / xprof): /profile?ms=2000. Opt-in only
+                # (ServeConfig.enable_profile) and the output dir is pinned
+                # server-side: a client-supplied path would let any caller
+                # write to arbitrary directories, and the default-off gate
+                # keeps a 0.0.0.0 bind from exposing a thread-blocking,
+                # disk-writing endpoint to the network.
+                if not engine.scfg.enable_profile:
+                    self._json(403, {"error": "profiling disabled "
+                                     "(ServeConfig.enable_profile)"})
+                    return
                 from urllib.parse import parse_qs, urlparse
                 import time as _t
                 q = parse_qs(urlparse(self.path).query)
-                ms = float(q.get("ms", ["1000"])[0])
-                out = q.get("dir", ["/tmp/ripor_trace"])[0]
+                try:
+                    ms = min(float(q.get("ms", ["1000"])[0]), 30_000)
+                except ValueError:
+                    self._json(400, {"error": "bad ms parameter"})
+                    return
+                out = engine.scfg.profile_dir
                 import jax
-                jax.profiler.start_trace(out)
-                _t.sleep(min(ms, 30_000) / 1e3)
-                jax.profiler.stop_trace()
+                if not _PROFILE_LOCK.acquire(blocking=False):
+                    self._json(409, {"error": "a trace is already running"})
+                    return
+                try:
+                    jax.profiler.start_trace(out)
+                    _t.sleep(ms / 1e3)
+                    jax.profiler.stop_trace()
+                except Exception as e:
+                    self._json(500, {"error": f"trace failed: {e}"})
+                    return
+                finally:
+                    _PROFILE_LOCK.release()
                 self._json(200, {"trace_dir": out, "captured_ms": ms})
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
