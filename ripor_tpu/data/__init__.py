@@ -4,6 +4,7 @@ from ripor_tpu.data.tokenizer import (
     QUERY_PREFIX,
     TextTokenizer,
     UnigramTokenizer,
+    WordTokenizer,
     tokenize_docs,
     tokenize_queries,
 )
@@ -34,6 +35,7 @@ from ripor_tpu.data.collators import (
 
 __all__ = [
     "TextTokenizer", "UnigramTokenizer", "HashTokenizer",
+    "WordTokenizer",
     "QUERY_PREFIX", "DOC_PREFIX", "tokenize_queries", "tokenize_docs",
     "Collection", "TeacherScoreExamples", "Seq2SeqExamples", "BceExamples",
     "build_bce_examples", "save_bce_examples",

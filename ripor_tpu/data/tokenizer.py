@@ -117,6 +117,49 @@ class UnigramTokenizer(TextTokenizer):
         return self._tok.encode(text).ids
 
 
+class WordTokenizer(TextTokenizer):
+    """Deterministic word-level tokenizer: vocab = the ``vocab_size`` most
+    frequent lowercase words (ties broken lexicographically), built in pure
+    Python. Exists because the Rust Unigram trainer is nondeterministic
+    run-to-run (see UnigramTokenizer.train) — CI recipes that gate on exact
+    metrics train THIS tokenizer instead; production uses Unigram/SPM."""
+
+    def __init__(self, vocab: dict):
+        self._vocab = dict(vocab)
+        self.vocab_size = 5 + len(self._vocab)
+
+    @staticmethod
+    def train(corpus: Iterable[str], vocab_size: int = 32000
+              ) -> "WordTokenizer":
+        import re
+        from collections import Counter
+        counts: Counter = Counter()
+        for text in corpus:
+            counts.update(re.findall(r"[a-z0-9]+", text.lower()))
+        words = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return WordTokenizer({w: 5 + i
+                              for i, (w, _) in enumerate(words[:vocab_size - 5])})
+
+    def save(self, path: str | Path) -> None:
+        import json
+        Path(path).write_text(json.dumps({"kind": "word",
+                                          "vocab": self._vocab}))
+
+    @staticmethod
+    def load(path: str | Path) -> "WordTokenizer":
+        import json
+        obj = json.loads(Path(path).read_text())
+        if obj.get("kind") != "word":
+            raise ValueError(f"{path} is not a WordTokenizer file")
+        return WordTokenizer(obj["vocab"])
+
+    def encode(self, text: str) -> List[int]:
+        import re
+        unk = UNK_ID
+        return [self._vocab.get(w, unk)
+                for w in re.findall(r"[a-z0-9]+", text.lower())]
+
+
 class HashTokenizer(TextTokenizer):
     """Deterministic whitespace+hash tokenizer — test/bench stand-in with
     zero training cost. Ids in [3, vocab_size)."""

@@ -7,6 +7,7 @@ from ripor_tpu.evaluation.metrics import (
     recall_k,
     truncate_run,
 )
+from ripor_tpu.evaluation.bm25 import BM25Index
 from ripor_tpu.evaluation.hnsw import HnswIndex, recall_vs_exact
 from ripor_tpu.evaluation.retriever import (
     Int8Corpus,
@@ -22,4 +23,5 @@ __all__ = [
     "dense_topk", "device_corpus", "Int8Corpus", "encode_corpus",
     "retrieve_to_run",
     "HnswIndex", "recall_vs_exact",
+    "BM25Index",
 ]

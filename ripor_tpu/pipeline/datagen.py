@@ -221,6 +221,53 @@ def build_bce_examples(qrel: Mapping[str, Mapping[str, int]],
     return [examples[i] for i in order]
 
 
+def teacher_run_to_examples(run_scores: Mapping[str, Mapping[str, float]],
+                            top_k: int = 200) -> List[Dict]:
+    """Teacher-rescored run -> score-sorted docid trainset rows
+    {"qid","docids","scores"} truncated at ``top_k`` (reference
+    rerank_for_create_trainset_2, rerank.py:67-105: sort desc, cut at 200).
+    These rows are NOT yet qrel-anchored — chain through
+    :func:`qrel_added_teacher_examples`."""
+    out = []
+    for qid, docs in run_scores.items():
+        ranked = sorted(docs.items(), key=lambda kv: kv[1],
+                        reverse=True)[:top_k]
+        out.append({"qid": str(qid),
+                    "docids": [d for d, _ in ranked],
+                    "scores": [float(s) for _, s in ranked]})
+    return out
+
+
+def qrel_added_teacher_examples(
+        examples: Iterable[Dict],
+        qid_to_reldocid_to_score: Mapping[str, Mapping[str, float]]
+        ) -> List[Dict]:
+    """add_qrel_to_rerank_run.py:13-37 semantics, exactly: ONE output row
+    per (qid, rel docid). If the rel docid is absent from the teacher-scored
+    candidate list it is PREPENDED with its own teacher score; if present,
+    the row keeps the teacher ranking untouched (the trained "positive" is
+    then the teacher's top doc, i.e. pure distillation — reference
+    MarginMSEforPretrainDataset takes positive = docids[0],
+    dataset/dataset.py:645-647). Queries with no qrel entry are dropped,
+    as in the reference (it indexes qid_to_reldocid_to_score[qid])."""
+    out = []
+    for ex in examples:
+        qid = str(ex["qid"])
+        rels = qid_to_reldocid_to_score.get(qid)
+        if not rels:
+            continue
+        in_list = set(ex["docids"])
+        for reldocid, score in rels.items():
+            if str(reldocid) in in_list:
+                out.append({"qid": qid, "docids": list(ex["docids"]),
+                            "scores": list(ex["scores"])})
+            else:
+                out.append({"qid": qid,
+                            "docids": [str(reldocid)] + list(ex["docids"]),
+                            "scores": [float(score)] + list(ex["scores"])})
+    return out
+
+
 def nway_labels(nway: int) -> List[float]:
     """Rank-bucket label template: [1, 1/2 .. 1/5, 0 x5, -0.5 x(nway-10)]
     (reference create_nway_dataset_from_score_dataset.py:21-26)."""

@@ -78,7 +78,8 @@ def datagen_round(cfg: RiporConfig, params, tok: TextTokenizer,
                   doc_codes: np.ndarray, docids: Sequence[str],
                   score_pairs_fn, prefix_len: int, num_beams: int = 100,
                   batch_size: int = 4, decay: int = 2,
-                  max_length: int = 64) -> List[Dict]:
+                  max_length: int = 64,
+                  return_intermediates: bool = False):
     """One flywheel round at one prefix length: D^R grouping + D^B beam
     candidates, teacher rescoring of EVERY (q, prefix, doc) triple via
     ``score_pairs_fn`` ([(qid, docid)] -> {qid: {docid: score}}), decay
@@ -88,7 +89,12 @@ def datagen_round(cfg: RiporConfig, params, tok: TextTokenizer,
     (t5seq_aq_get_qid_to_smtid_rankdata, evaluate.py:528-655;
     cross_encoder_rerank_for_qid_smtid_docids, rerank.py:587-654;
     get_lng_knp_qid_smtids_scores_jsonl_examples). Missing teacher scores
-    raise — no 0.0 defaults (groups_to_rankdata)."""
+    raise — no 0.0 defaults (groups_to_rankdata).
+
+    ``return_intermediates``: also return the RAW (undecayed) union
+    rankdata and pair scores — inputs for the alternative example builders
+    (merge_self_neg_sym_neg / qrel_first_examples, which apply their own
+    decay; feeding them the merged output would double-decay)."""
     from ripor_tpu.pipeline.datagen import (
         attach_lng_knp_scores, group_docids_by_prefix, groups_to_rankdata,
         merge_rankdata_with_decay, prefix_smtid_strings, union_docid_groups)
@@ -110,6 +116,8 @@ def datagen_round(cfg: RiporConfig, params, tok: TextTokenizer,
         max_new_token=prefix_len, decay=decay)
     if prefix_len > 4:
         merged = attach_lng_knp_scores(merged, prefix_len)
+    if return_intermediates:
+        return merged, groups_to_rankdata(union, pair_scores), pair_scores
     return merged
 
 

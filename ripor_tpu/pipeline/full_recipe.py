@@ -1,23 +1,37 @@
 """The full RIPOR 3-phase training recipe, end-to-end in one driver.
 
 Mirrors the reference's chained shell pipelines (full_scripts/
-full_lng_knp_train_pipline.sh:28-100 + marco_train_t5seq_cross_encoder.sh +
-all_aq_pipline.sh; SURVEY.md §3.5) as one resumable function:
+full_train_t5seq_encoder_{0,1}.sh + full_train_t5seq_seq2seq_0_1_pipeline.sh
++ full_lng_knp_train_pipline.sh:28-100 + marco_train_t5seq_cross_encoder.sh
++ all_aq_pipline; SURVEY.md §3.5) as one resumable function:
 
-  phase 1  dense pretrain (t5seq_pretrain_margin_mse)
-  docids   corpus encode -> RQ -> docid_to_smtid + codebook install
-  teacher  BertCrossEncoder trained on bce_examples (bert_bce)
-  phase 2  seq2seq CE + MarginMSE on teacher-scored trainset
-  phase 3  flywheel datagen (teacher-rescored, decay-merged) + prefix
-           curriculum: sub-smtid MarginMSE at 4, lng_knp at 8/16/32
+  teacher  BM25 run -> BCE examples -> BertCrossEncoder (stands in for the
+           off-the-shelf MiniLM teacher this image cannot download)
+  phase 1  two MarginMSE distillation stages, exactly as the reference:
+           stage 0 trains on the TEACHER-RESCORED BM25 run
+           (full_train_t5seq_encoder_0.sh:13), stage 1 re-trains from the
+           stage-0 checkpoint on SELF-MINED candidates — the stage-0
+           model's own dense retrieval, teacher-rescored
+           (full_train_t5seq_encoder_1.sh:12-15)
+  docids   corpus encode (stage-1 model) -> RQ -> docid_to_smtid +
+           codebook install
+  phase 2  seq2seq CE on query->smtid pairs (doc2query pseudo-queries,
+           teacher-filtered, when no real query_to_docid file is given) +
+           MarginMSE on the stage-1 model's retrieval, teacher-rescored
+  phase 3  flywheel datagen seeded by the CURRENT model's dense retrieval
+           (reference retrieve_train_queries, evaluate.py:229-266), teacher
+           rescoring + decay merge, then the prefix curriculum: sub-smtid
+           MarginMSE at 4, lng_knp at 8/16/32
 
-Every stage checkpoints into the workspace and is skipped when its outputs
-exist (Workspace/stage_train semantics), so an interrupted run resumes.
+Every trainset on the default path carries REAL teacher scores over
+RETRIEVED candidates — there is no synthetic-score branch. Every stage
+checkpoints into the workspace and is skipped when its outputs exist
+(Workspace/stage_train semantics), so an interrupted run resumes.
 """
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +46,6 @@ from ripor_tpu.data import (
     Seq2SeqCollator,
     Seq2SeqExamples,
     TeacherScoreExamples,
-    UnigramTokenizer,
     batches_from_bce,
     batches_from_seq2seq,
     batches_from_teacher_examples,
@@ -41,7 +54,7 @@ from ripor_tpu.data import (
     load_qrel,
     save_bce_examples,
 )
-from ripor_tpu.models import RiporConfig, RiporModel, T5Config
+from ripor_tpu.models import RiporConfig, RiporModel
 from ripor_tpu.models.cross_encoder import BertCrossEncoder
 from ripor_tpu.models.ripor import init_ripor_params
 from ripor_tpu.pipeline.e2e import _small_cfg
@@ -64,40 +77,32 @@ def _epochs_steps(n_examples: int, batch_size: int, epochs: int) -> int:
     return max(1, epochs * max(1, n_examples // batch_size))
 
 
-def _make_pretrain_examples(ws: Workspace, qrel, docids: Sequence[str],
-                            n_negs: int, seed: int) -> str:
-    """Phase-1 trainset: {"qid", "docids": [pos, negs...], "scores"} with
-    synthetic teacher margins (the reference uses a MarginMSE distillation
-    set from its dense-teacher run; on a slice the qrel provides positives
-    and uniform negatives stand in)."""
-    path = ws.path("pretrain_trainset.jsonl")
+def _stage_bm25_run(ws: Workspace, queries: Collection, docs: Collection,
+                    topk: int) -> Dict[str, Dict[str, float]]:
+    """First-stage lexical run (the reference's prebuilt Anserini artifact,
+    data/msmarco-full/bm25_run — full_train_t5seq_encoder_0.sh:13)."""
+    path = ws.path("bm25_run.json")
     if path.exists():
-        return str(path)
-    rng = np.random.default_rng(seed)
-    rows = []
-    for qid, rels in qrel.items():
-        pos = [d for d, r in rels.items() if r > 0]
-        if not pos:
-            continue
-        negs = [d for d in rng.choice(docids, size=min(n_negs + len(pos),
-                                                       len(docids)),
-                                      replace=False) if d not in rels][:n_negs]
-        if not negs:
-            continue
-        rows.append({"qid": str(qid), "docids": [pos[0]] + [str(d) for d in negs],
-                     "scores": [1.0] + [0.0] * len(negs)})
-    write_jsonl(str(path), rows)
-    return str(path)
+        return json.loads(path.read_text())
+    from ripor_tpu.evaluation.bm25 import BM25Index
+    ws.log(f"BM25 run over {len(docs)} docs / {len(queries)} queries")
+    index = BM25Index(docs.texts)
+    run = index.run(queries.ids, queries.texts, docs.ids, topk=topk)
+    path.write_text(json.dumps(run))
+    return run
 
 
 def _train_bert_teacher(ws: Workspace, tok, queries: Collection,
-                        docs: Collection, qrel, epochs: int,
-                        batch_size: int, seed: int,
+                        docs: Collection, qrel,
+                        run: Mapping[str, Mapping[str, float]],
+                        epochs: int, batch_size: int, seed: int,
                         geometry: Optional[Dict] = None) -> str:
     """Train the BertCrossEncoder teacher on bce_examples built from the
-    qrel + full candidate pool (reference build_bce_example_for_t5seq_
-    encoder.py + CrossEncoder BCE training) and save it with its geometry.
-    Returns the checkpoint dir."""
+    qrel + the BM25 run's candidates (reference
+    build_bce_example_for_t5seq_encoder.py draws negatives from the
+    query's run) and save it with its geometry. Returns the checkpoint
+    dir. The reference downloads ms-marco-MiniLM-L-6-v2 instead
+    (arguments.py:218); zero egress means we train our own."""
     ckpt = ws.path("checkpoints/bert_teacher")
     geo = geometry or dict(d_model=64, num_layers=2, num_heads=4, d_ff=128,
                            max_position=128)
@@ -105,7 +110,6 @@ def _train_bert_teacher(ws: Workspace, tok, queries: Collection,
         return str(ckpt)
     bce_path = ws.path("bce_examples.train.tsv")
     if not bce_path.exists():
-        run = {qid: {d: 1.0 for d in docs.ids} for qid in qrel}
         save_bce_examples(bce_path, build_bce_examples(
             qrel, run, neg_sample=8, seed=seed))
     examples = BceExamples(bce_path)
@@ -125,6 +129,114 @@ def _train_bert_teacher(ws: Workspace, tok, queries: Collection,
     return str(ckpt)
 
 
+def _teacher_trainset(ws: Workspace, name: str,
+                      run: Mapping[str, Mapping[str, float]],
+                      teacher_pair_scores,
+                      qid_to_reldocid_to_score: Mapping[str, Mapping[str, float]],
+                      top_k: int) -> str:
+    """Candidate run -> teacher-rescored, qrel-anchored MarginMSE trainset
+    (the reference chain rerank_for_create_trainset{,_2} (rerank.py:41-105)
+    + add_qrel_to_rerank_run.py). Returns the JSONL path."""
+    from ripor_tpu.pipeline.datagen import (qrel_added_teacher_examples,
+                                            teacher_run_to_examples)
+    path = ws.path(name)
+    if path.exists():
+        return str(path)
+    ws.log(f"teacher-rescoring run -> {name}")
+    pairs = sorted({(str(q), str(d)) for q, docs in run.items() for d in docs})
+    scored = teacher_pair_scores(pairs)
+    rows = qrel_added_teacher_examples(
+        teacher_run_to_examples(scored, top_k=top_k),
+        qid_to_reldocid_to_score)
+    # a row needs >= 2 candidates to sample a negative (dataset.py:589-595)
+    rows = [r for r in rows if len(r["docids"]) >= 2]
+    write_jsonl(str(path), rows)
+    return str(path)
+
+
+def _dense_run(ws: Workspace, name: str, embs: np.ndarray,
+               model: RiporModel, params, tok, queries: Collection,
+               docids: Sequence[str], topk: int,
+               batch_size: int) -> Dict[str, Dict[str, float]]:
+    """Dense retrieval of the train queries over a doc-embedding matrix
+    (reference retrieve_train_queries, evaluate.py:229-266). Cached."""
+    path = ws.path(name)
+    if path.exists():
+        return json.loads(path.read_text())
+    from ripor_tpu.data.tokenizer import tokenize_queries
+    from ripor_tpu.evaluation.retriever import dense_topk
+
+    @jax.jit
+    def rep(ids, mask):
+        return model.apply({"params": params}, ids, mask,
+                           method=RiporModel.dense_rep)
+
+    reps = []
+    n = len(queries)
+    for s in range(0, n, batch_size):
+        texts = [queries.text_at(i) for i in range(s, min(s + batch_size, n))]
+        pad = batch_size - len(texts)
+        ids, mask = tokenize_queries(tok, texts + [""] * pad, 64)
+        r = np.asarray(rep(jnp.asarray(ids), jnp.asarray(mask)), np.float32)
+        reps.append(r[:len(texts)])
+    q = np.concatenate(reps, axis=0)
+    scores, idx = dense_topk(q, np.asarray(embs, np.float32),
+                             min(topk, len(docids)))
+    run = {str(qid): {str(docids[d]): float(s)
+                      for d, s in zip(qi, qs)}
+           for qid, qi, qs in zip(queries.ids, idx, scores)}
+    path.write_text(json.dumps(run))
+    return run
+
+
+def _pseudo_query_trainset(ws: Workspace, docs: Collection, queries,
+                           qrel, teacher_pair_scores, per_doc: int,
+                           seed: int) -> str:
+    """query->docid seq2seq source when no real doc2query artifact exists:
+    sample word spans from each doc as pseudo-queries, teacher-score every
+    (pseudo-query, doc) pair, and keep pairs above the median score via
+    datagen.pseudo_query_examples — the same filter shape as the
+    reference's create_pseudo_query_to_docid_map.py:18-27 (its threshold
+    is an absolute MiniLM logit; ours is a quantile because the trained
+    toy teacher has its own scale). Real train-query->positive pairs ride
+    along, as in the reference's query_to_docid.train.json."""
+    from ripor_tpu.pipeline.datagen import pseudo_query_examples
+    path = ws.path("query_to_docid.train.jsonl")
+    if path.exists():
+        return str(path)
+    ws.log("building pseudo-query seq2seq trainset")
+    rng = np.random.default_rng(seed)
+    pq_texts: Dict[str, str] = {}
+    pairs: List[Tuple[str, str]] = []
+    for did, text in zip(docs.ids, docs.texts):
+        words = text.split()
+        for j in range(per_doc):
+            if len(words) <= 2:
+                span = words
+            else:
+                ln = int(rng.integers(2, min(7, len(words) + 1)))
+                s = int(rng.integers(0, len(words) - ln + 1))
+                span = words[s:s + ln]
+            pqid = f"pq_{did}_{j}"
+            pq_texts[pqid] = " ".join(span)
+            pairs.append((pqid, str(did)))
+    scored = teacher_pair_scores(pairs, query_texts=pq_texts)
+    d2r = {}
+    for pqid, did in pairs:
+        d2r.setdefault(did, {})[pqid] = scored[pqid][did]
+    all_scores = [s for rd in d2r.values() for s in rd.values()]
+    thresh = float(np.median(all_scores))
+    _, filtered = pseudo_query_examples(d2r, pq_texts,
+                                        score_threshold=thresh)
+    rows = list(filtered)
+    for qid, rels in qrel.items():
+        for d, r in rels.items():
+            if r > 0:
+                rows.append({"docid": str(d), "query": queries[qid]})
+    write_jsonl(str(path), rows)
+    return str(path)
+
+
 def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                     qrel_path: str,
                     M: int = 8, K: int = 32, vocab_size: int = 600,
@@ -136,17 +248,37 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                     num_beams: int = 10, topk: int = 100,
                     batch_size: int = 16, decay: int = 2,
                     teacher_geometry: Optional[Dict] = None,
-                    seed: int = 0) -> Dict[str, Dict[str, float]]:
+                    seed: int = 0,
+                    tokenizer_kind: str = "unigram",
+                    bm25_topk: int = 50, retrieve_topk: int = 50,
+                    trainset_topk: int = 200,
+                    query_to_docid_path: Optional[str] = None,
+                    pseudo_queries_per_doc: int = 2,
+                    dr_topk: int = 100,
+                    phase3_sym_neg: bool = False,
+                    prefix_eval: Sequence[int] = (),
+                    datagen_num_beams: Optional[int] = None
+                    ) -> Dict[str, Dict[str, float]]:
     """Run phases 1..3 on a corpus slice; returns per-phase retrieval
     metrics {"phase2": {...}, "phase3": {...}} so callers can assert the
     curriculum improves retrieval (reference's end state after
-    full_lng_knp_train_pipline.sh)."""
+    full_lng_knp_train_pipline.sh).
+
+    ``tokenizer_kind="word"`` makes the whole run deterministic (the Rust
+    Unigram trainer is unseeded). ``prefix_eval=(4, 8)`` additionally
+    evaluates PREFIX-truncated retrieval per phase (sub-smtid decode, the
+    paper's early-step-ranking claim) into metrics["phaseN_prefixP"].
+    ``phase3_sym_neg`` routes phase-3 examples through the symmetric-
+    hard-negative builder (datagen.merge_self_neg_sym_neg) instead of the
+    published decay-merge; ``query_to_docid_path`` supplies a real doc2query
+    JSONL ({"docid","query"}) and skips pseudo-query generation."""
     ws = Workspace(workspace)
     docs = Collection(docs_dir)
     queries = Collection(queries_dir)
     qrel = load_qrel(qrel_path)
 
-    tok = stage_tokenizer(ws, docs.texts + queries.texts, vocab_size)
+    tok = stage_tokenizer(ws, docs.texts + queries.texts, vocab_size,
+                          kind=tokenizer_kind)
     cfg = cfg or _small_cfg(M, K, tok.vocab_size)
     # curriculum from the RESOLVED config's M — a custom cfg with M=32 must
     # get the full 4->8->16->32 ladder even if the M parameter was left at
@@ -156,23 +288,69 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
     model = RiporModel(cfg)
     params = init_ripor_params(jax.random.PRNGKey(seed), cfg)
 
-    # ---- phase 1: dense pretrain --------------------------------------
-    pre_path = _make_pretrain_examples(ws, qrel, docs.ids, n_negs=4,
-                                       seed=seed)
-    pre_examples = TeacherScoreExamples(pre_path)
-    pre_coll = PretrainCollator(tok, queries, docs, max_length=64)
-    bz = min(batch_size, len(pre_examples))
-    tcfg = TrainConfig(loss_type="t5seq_pretrain_margin_mse",
-                       learning_rate=1e-3,
-                       total_steps=_epochs_steps(len(pre_examples), bz,
-                                                 phase1_epochs))
-    params = stage_train(
-        ws, "phase1_pretrain", model, params, tcfg,
-        batches_from_teacher_examples(pre_examples, pre_coll, bz,
-                                      epochs=phase1_epochs, drop_last=False),
-        cfg, rng_seed=seed)
+    # ---- BM25 + cross-encoder teacher -----------------------------------
+    bm25 = _stage_bm25_run(ws, queries, docs, topk=bm25_topk)
+    teacher_ckpt = _train_bert_teacher(ws, tok, queries, docs, qrel, bm25,
+                                       epochs=teacher_epochs,
+                                       batch_size=batch_size, seed=seed,
+                                       geometry=teacher_geometry)
+    from ripor_tpu.evaluation.reranker import load_bert_teacher, rerank_pairs
+    teacher_fn = load_bert_teacher(teacher_ckpt, tok.vocab_size)
 
-    # ---- DocID build ---------------------------------------------------
+    def teacher_pair_scores(pairs, query_texts=None):
+        return rerank_pairs(teacher_fn, tok,
+                            query_texts if query_texts is not None
+                            else queries,
+                            docs, list(pairs), batch_size=64, max_length=64)
+
+    # teacher scores of the qrel (q, rel doc) pairs — the reference's
+    # qid_to_reldocid_to_score.json (add_qrel_to_rerank_run.py:6)
+    rel_path = ws.path("qid_to_reldocid_to_score.json")
+    if not rel_path.exists():
+        rel_pairs = [(str(q), str(d)) for q, rels in qrel.items()
+                     for d, r in rels.items() if r > 0]
+        scored = teacher_pair_scores(rel_pairs)
+        rel_path.write_text(json.dumps(scored))
+    qid_to_reldocid_to_score = json.loads(rel_path.read_text())
+
+    # ---- phase 1: two-stage dense distillation ---------------------------
+    # stage 0: teacher-rescored BM25 candidates
+    # (full_train_t5seq_encoder_0.sh: loss t5seq_pretrain_margin_mse)
+    pre_coll = PretrainCollator(tok, queries, docs, max_length=64)
+
+    def _pretrain_stage(stage_name: str, trainset_path: str, p):
+        pre_examples = TeacherScoreExamples(trainset_path)
+        bz = min(batch_size, len(pre_examples))
+        tcfg = TrainConfig(loss_type="t5seq_pretrain_margin_mse",
+                           learning_rate=1e-3,
+                           total_steps=_epochs_steps(len(pre_examples), bz,
+                                                     phase1_epochs))
+        return stage_train(
+            ws, stage_name, model, p, tcfg,
+            batches_from_teacher_examples(pre_examples, pre_coll, bz,
+                                          epochs=phase1_epochs,
+                                          drop_last=False),
+            cfg, rng_seed=seed)
+
+    t0 = _teacher_trainset(ws, "pretrain_trainset_0.jsonl", bm25,
+                           teacher_pair_scores, qid_to_reldocid_to_score,
+                           top_k=trainset_topk)
+    params = _pretrain_stage("phase1_pretrain", t0, params)
+
+    # stage 1: SELF-MINED candidates — dense retrieval by the stage-0
+    # model, teacher-rescored (full_train_t5seq_encoder_1.sh:12-15)
+    embs0 = stage_encode_corpus(ws, model, params, docs, tok, max_length=64,
+                                batch_size=batch_size,
+                                out_name="doc_embeds_phase1_0.npy")
+    run0 = _dense_run(ws, "dense_run_phase1_0.json", embs0, model, params,
+                      tok, queries, docs.ids, topk=retrieve_topk,
+                      batch_size=batch_size)
+    t1 = _teacher_trainset(ws, "pretrain_trainset_1.jsonl", run0,
+                           teacher_pair_scores, qid_to_reldocid_to_score,
+                           top_k=trainset_topk)
+    params = _pretrain_stage("phase1_pretrain_1", t1, params)
+
+    # ---- DocID build ------------------------------------------------------
     embs = stage_encode_corpus(ws, model, params, docs, tok, max_length=64,
                                batch_size=batch_size)
     codes = stage_build_docids(ws, embs, docs.ids, M=cfg.M, K=cfg.K)
@@ -180,30 +358,12 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
     docids, codes = load_docid_to_smtid(ws.path("docid_to_smtid.json"))
     d2c = dict(zip(docids, codes))
 
-    # ---- cross-encoder teacher ----------------------------------------
-    # teacher_geometry defaults to a CI-sized toy model inside
-    # _train_bert_teacher; real runs should pass MiniLM-class geometry,
-    # e.g. dict(d_model=384, num_layers=6, num_heads=12, d_ff=1536,
-    # max_position=512) (reference teacher: ms-marco-MiniLM-L-6-v2,
-    # arguments.py:218)
-    teacher_ckpt = _train_bert_teacher(ws, tok, queries, docs, qrel,
-                                       epochs=teacher_epochs,
-                                       batch_size=batch_size, seed=seed,
-                                       geometry=teacher_geometry)
-    from ripor_tpu.evaluation.reranker import load_bert_teacher, rerank_pairs
-    teacher_fn = load_bert_teacher(teacher_ckpt, tok.vocab_size)
-
-    def teacher_pair_scores(pairs):
-        return rerank_pairs(teacher_fn, tok, queries, docs, list(pairs),
-                            batch_size=64, max_length=64)
-
-    # ---- phase 2: seq2seq + teacher MarginMSE --------------------------
-    s2s_path = ws.path("s2s_examples.jsonl")
-    if not s2s_path.exists():
-        write_jsonl(str(s2s_path),
-                    [{"docid": d, "query": queries[qid]}
-                     for qid, rels in qrel.items()
-                     for d, r in rels.items() if r > 0])
+    # ---- phase 2: seq2seq (pseudo-queries) + teacher MarginMSE ------------
+    s2s_path = (query_to_docid_path
+                or _pseudo_query_trainset(ws, docs, queries, qrel,
+                                          teacher_pair_scores,
+                                          per_doc=pseudo_queries_per_doc,
+                                          seed=seed))
     s2s = Seq2SeqExamples(s2s_path)
     bz = min(batch_size, len(s2s))
     tcfg = TrainConfig(loss_type="t5seq_aq_encoder_seq2seq",
@@ -215,22 +375,16 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                              bz, epochs=s2s_epochs, drop_last=False),
         cfg, rng_seed=seed)
 
-    mm_path = ws.path("phase2_mm_trainset.jsonl")
-    if not mm_path.exists():
-        rng = np.random.default_rng(seed + 1)
-        rows = []
-        for qid, rels in qrel.items():
-            pos = [d for d, r in rels.items() if r > 0]
-            if not pos:
-                continue
-            negs = [d for d in rng.choice(docids, size=min(6, len(docids)),
-                                          replace=False)
-                    if d not in rels][:4]
-            cands = [pos[0]] + [str(d) for d in negs]
-            scored = teacher_pair_scores([(qid, d) for d in cands])
-            rows.append({"qid": str(qid), "docids": cands,
-                         "scores": [scored[str(qid)][d] for d in cands]})
-        write_jsonl(str(mm_path), rows)
+    # MarginMSE on the stage-1 model's retrieval, teacher-rescored (the
+    # reference reuses t5_docid_gen_encoder_1's qrel_added run for
+    # seq2seq_1, full_train_t5seq_seq2seq_0_1_pipeline.sh:55)
+    run1 = _dense_run(ws, "dense_run_phase1_1.json", embs, model, params,
+                      tok, queries, docids, topk=retrieve_topk,
+                      batch_size=batch_size)
+    mm_path = _teacher_trainset(ws, "phase2_mm_trainset.jsonl", run1,
+                                teacher_pair_scores,
+                                qid_to_reldocid_to_score,
+                                top_k=trainset_topk)
     mm = TeacherScoreExamples(mm_path)
     bz = min(batch_size, len(mm))
     tcfg = TrainConfig(loss_type="t5seq_aq_encoder_margin_mse",
@@ -244,24 +398,73 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
         cfg, rng_seed=seed)
 
     trie = stage_build_trie(ws, codes, cfg.K)
-    run2 = stage_retrieve(ws, cfg, params, tok, queries, trie, docids,
-                          num_beams=num_beams, topk=topk,
-                          run_name="run_phase2.json")
-    metrics = {"phase2": stage_evaluate(ws, run2, qrel,
-                                        perf_name="perf_phase2.json")}
 
-    # ---- phase 3: flywheel + prefix curriculum -------------------------
-    qid_to_docids = {qid: [d for d, r in rels.items() if r > 0]
-                     for qid, rels in qrel.items()}
-    qid_to_docids = {q: ds for q, ds in qid_to_docids.items() if ds}
+    def _eval_phase(tag: str, p) -> Dict[str, Dict[str, float]]:
+        out = {tag: stage_evaluate(
+            ws, stage_retrieve(ws, cfg, p, tok, queries, trie, docids,
+                               num_beams=num_beams, topk=topk,
+                               run_name=f"run_{tag}.json"),
+            qrel, perf_name=f"perf_{tag}.json")}
+        for plen in prefix_eval:
+            ptrie = stage_build_prefix_trie(ws, codes, cfg.K, plen)
+            prun = stage_retrieve(ws, cfg, p, tok, queries, ptrie, docids,
+                                  num_beams=num_beams, topk=topk,
+                                  run_name=f"run_{tag}_prefix{plen}.json",
+                                  max_steps=plen)
+            out[f"{tag}_prefix{plen}"] = stage_evaluate(
+                ws, prun, qrel, perf_name=f"perf_{tag}_prefix{plen}.json")
+        return out
+
+    metrics = _eval_phase("phase2", params)
+
+    # ---- phase 3: flywheel + prefix curriculum ----------------------------
+    # D^R seeds: the CURRENT model's dense retrieval top-dr_topk + qrel
+    # positives (reference retrieve_train_queries -> teacher rerank ->
+    # add_qrel -> group by prefix; SURVEY.md §3.5)
+    embs2 = stage_encode_corpus(ws, model, params, docs, tok, max_length=64,
+                                batch_size=batch_size,
+                                out_name="doc_embeds_phase2.npy")
+    run2 = _dense_run(ws, "dense_run_phase2.json", embs2, model, params,
+                      tok, queries, docids, topk=min(dr_topk, len(docids)),
+                      batch_size=batch_size)
+    qid_to_docids: Dict[str, List[str]] = {}
+    for qid in queries.ids:
+        pos = [str(d) for d, r in qrel.get(str(qid), {}).items() if r > 0]
+        cand = [d for d in run2.get(str(qid), {}) if d not in set(pos)]
+        if pos or cand:
+            qid_to_docids[str(qid)] = pos + cand
+
     for plen in curriculum:
         ds_path = ws.path(f"lng_knp_qid_smtids_scores_{plen}.train.json")
         if not ds_path.exists():
             ws.log(f"phase3 datagen at prefix {plen}")
-            merged = datagen_round(
+            merged, rankdata, pair_scores = datagen_round(
                 cfg, params, tok, queries, qid_to_docids, codes, docids,
                 teacher_pair_scores, prefix_len=plen,
-                num_beams=min(num_beams, 10), batch_size=4, decay=decay)
+                num_beams=datagen_num_beams or min(num_beams, 10),
+                batch_size=4, decay=decay, return_intermediates=True)
+            if phase3_sym_neg:
+                from ripor_tpu.pipeline.datagen import (
+                    attach_lng_knp_scores, merge_self_neg_sym_neg,
+                    prefix_smtid_strings)
+                p_str = prefix_smtid_strings(codes, docids, plen)
+                # symmetric hard negatives per (qid, rel docid): the
+                # query's teacher-scored candidates (the reference's
+                # symmetric_hard_neg artifact holds the POSITIVE's dense
+                # neighbours; at slice scale the query's own candidates are
+                # that neighbourhood — both are rescored by the teacher)
+                q2rank = {}
+                for qid, rels in qid_to_reldocid_to_score.items():
+                    if qid not in rankdata:
+                        continue
+                    cands = [[d, s] for d, s in
+                             pair_scores.get(qid, {}).items()]
+                    q2rank[qid] = {d: cands for d in rels}
+                merged = merge_self_neg_sym_neg(
+                    q2rank, qid_to_reldocid_to_score, rankdata, p_str,
+                    max_new_token=plen, decay=decay)
+                if plen > 4:
+                    merged = attach_lng_knp_scores(merged, plen)
             write_jsonl(str(ds_path), merged)
         examples = TeacherScoreExamples(ds_path, smtid_as_docid=True)
         if plen >= 8:
@@ -289,10 +492,19 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
         from ripor_tpu.train import save_params
         save_params(final, params, cfg)
 
-    run3 = stage_retrieve(ws, cfg, params, tok, queries, trie, docids,
-                          num_beams=num_beams, topk=topk,
-                          run_name="run_phase3.json")
-    metrics["phase3"] = stage_evaluate(ws, run3, qrel,
-                                       perf_name="perf_phase3.json")
+    metrics.update(_eval_phase("phase3", params))
     ws.log(f"full recipe metrics: {metrics}")
     return metrics
+
+
+def stage_build_prefix_trie(ws: Workspace, codes: np.ndarray, K: int,
+                            prefix_len: int):
+    """Trie over prefix-truncated codes for sub-smtid retrieval (reference
+    builds these per max_new_token, full_evaluate...sh:176-205)."""
+    from ripor_tpu.trie import DocIdTrie, build_trie
+    name = f"trie_prefix{prefix_len}.npz"
+    if ws.has(name):
+        return DocIdTrie.load(ws.path(name))
+    trie = build_trie(np.ascontiguousarray(codes[:, :prefix_len]), K)
+    trie.save(ws.path(name))
+    return trie

@@ -210,3 +210,25 @@ def test_spm_model_import(tmp_path):
     ids, mask = tok.encode_batch(["hello world"], 6)
     assert ids[0, 2] == EOS_ID and ids[0, 3] == PAD_ID
     assert mask[0].tolist() == [1, 1, 1, 0, 0, 0]
+
+
+def test_word_tokenizer_deterministic_and_roundtrip(tmp_path):
+    """WordTokenizer: deterministic vocab (frequency then lexicographic),
+    save/load round-trip, and the recipe loader dispatches on file kind
+    (the Rust Unigram trainer is unseeded; CI recipes need this one)."""
+    from ripor_tpu.data.tokenizer import UNK_ID, WordTokenizer
+    from ripor_tpu.pipeline.recipe import load_tokenizer
+
+    corpus = ["red blue blue", "green red blue", "zeta"]
+    t1 = WordTokenizer.train(corpus, vocab_size=8)
+    t2 = WordTokenizer.train(list(reversed(corpus)), vocab_size=8)
+    assert t1.encode("blue red green zeta") == t2.encode("blue red green zeta")
+    # blue(3) < red(2) < green(1)/zeta(1) lexicographic
+    ids = t1.encode("blue red green zeta unknownword")
+    assert ids[:2] == [5, 6] and ids[-1] == UNK_ID
+    p = tmp_path / "tok.json"
+    t1.save(p)
+    t3 = load_tokenizer(p)
+    assert type(t3).__name__ == "WordTokenizer"
+    assert t3.encode("blue red") == t1.encode("blue red")
+    assert t3.vocab_size == t1.vocab_size

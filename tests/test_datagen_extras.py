@@ -108,3 +108,49 @@ def test_add_qrel_examples_dedupe():
     out = add_qrel_examples(rel, d2s, {"q": {"2": [["dn", 2.0]]}}, 4, 2)
     assert out[0]["smtids"] == ["1", "2"]
     assert out[0]["scores"] == [9.0, 1.0]
+
+
+def test_teacher_run_to_examples_sort_and_cut():
+    from ripor_tpu.pipeline.datagen import teacher_run_to_examples
+    scored = {"q": {"d1": 3.0, "d2": 9.0, "d3": 5.0}}
+    out = teacher_run_to_examples(scored, top_k=2)
+    assert out == [{"qid": "q", "docids": ["d2", "d3"],
+                    "scores": [9.0, 5.0]}]
+
+
+def test_qrel_added_teacher_examples_prepend_vs_keep():
+    from ripor_tpu.pipeline.datagen import qrel_added_teacher_examples
+    exs = [{"qid": "q1", "docids": ["a", "b"], "scores": [5.0, 3.0]},
+           {"qid": "q2", "docids": ["c"], "scores": [2.0]},
+           {"qid": "q3", "docids": ["d"], "scores": [1.0]}]
+    rels = {"q1": {"a": 7.0},          # present -> row unchanged
+            "q2": {"x": 9.0},          # absent  -> prepended w/ qrel score
+            # q3 has no qrel entry -> dropped (reference indexes the dict)
+            }
+    out = qrel_added_teacher_examples(exs, rels)
+    assert out == [
+        {"qid": "q1", "docids": ["a", "b"], "scores": [5.0, 3.0]},
+        {"qid": "q2", "docids": ["x", "c"], "scores": [9.0, 2.0]},
+    ]
+
+
+def test_bm25_ranks_exact_term_matches_first():
+    from ripor_tpu.evaluation.bm25 import BM25Index
+    docs = ["apple banana cherry", "apple apple apple",
+            "dog cat mouse", "banana split"]
+    idx = BM25Index(docs)
+    scores, hits = idx.search("apple", topk=4)
+    assert hits[0] == 1                      # tf saturation still ranks it up
+    assert set(hits) == {0, 1}               # only docs containing the term
+    assert (np.diff(scores) <= 0).all()
+    run = idx.run(["q"], ["banana split"], ["d0", "d1", "d2", "d3"], topk=2)
+    assert list(run["q"]) [0] == "d3"        # both terms match
+
+
+def test_bm25_idf_downweights_common_terms():
+    from ripor_tpu.evaluation.bm25 import BM25Index
+    docs = ["the quick fox", "the lazy dog", "the old cat", "rare gem here"]
+    idx = BM25Index(docs)
+    s_rare, h_rare = idx.search("gem", topk=1)
+    s_common, h_common = idx.search("the", topk=1)
+    assert s_rare[0] > s_common[0]

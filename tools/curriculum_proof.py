@@ -1,0 +1,258 @@
+"""Prove the prefix-oriented curriculum (the paper's core contribution).
+
+The reference's reason to exist is that the 4->8->16->32 lng_knp prefix
+curriculum with decay-weighted teacher scores lifts MRR@10 over the
+phase-2 (full-length-only) model (/root/reference/full_scripts/
+full_lng_knp_train_pipline.sh:28-100; README.md:27 Table-1 claims). This
+driver reproduces that story ON-FRAMEWORK at a mid-size, statistically
+resolvable scale (VERDICT r2 missing #1):
+
+* a clustered synthetic corpus (cluster-specific vocabulary) large enough
+  that beam pruning is real: the generative retriever must rank the right
+  PREFIX highly at early decode steps or lose the doc,
+* held-out dev queries (never in any trainset, dense run, or flywheel),
+* TWO arms sharing phase 1+2 and the teacher bit-for-bit:
+    curriculum: phase-3 datagen + training at prefixes 4/8/16/32
+    flat:       phase-3 training at the FULL length only (the paper's
+                "w/o prefix-oriented" ablation), with 4x the epochs so
+                both arms get ~equal phase-3 gradient steps,
+* per-phase dev metrics at full length AND prefix-truncated 4/8 retrieval
+  (sub-smtid decode — the early-step-ranking claim).
+
+Writes artifacts/curriculum_proof.json and prints the metric table; exits
+non-zero unless  phase3_curriculum > phase2  on dev MRR@10 and the
+curriculum's prefix-truncated retrieval beats the flat ablation's.
+
+Usage: python tools/curriculum_proof.py [workdir] [--small] [--skip-flat]
+  --small: CI-sized sanity pass of THIS driver (not the proof).
+"""
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+
+def build_corpus(base: Path, n_clusters: int, docs_per_cluster: int,
+                 n_train_q: int, n_dev_q: int, seed: int = 0):
+    """Clustered corpus: every cluster owns a disjoint 8-word vocabulary;
+    a doc is 6 draws from its cluster vocab + a unique marker token. A
+    query names its target doc's marker + 2 of its words — enough signal
+    to be answerable, enough cluster ambiguity that ranking the right
+    prefix early is the hard part."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    n_docs = n_clusters * docs_per_cluster
+    vocab = [f"w{i:04d}" for i in range(8 * n_clusters)]
+    docs_dir = base / "docs"; docs_dir.mkdir(parents=True, exist_ok=True)
+    doc_words = []
+    with open(docs_dir / "raw.tsv", "w") as f:
+        for d in range(n_docs):
+            c = d // docs_per_cluster
+            cw = vocab[8 * c:8 * (c + 1)]
+            words = list(rng.choice(cw, 6))
+            doc_words.append(words)
+            f.write(f"d{d}\t{' '.join(words)} topic{d}\n")
+
+    def write_queries(name, qids_docs):
+        qdir = base / name; qdir.mkdir(exist_ok=True)
+        qrel = {}
+        with open(qdir / "raw.tsv", "w") as f:
+            for qid, d in qids_docs:
+                w = rng.choice(doc_words[d], 2, replace=False)
+                f.write(f"{qid}\ttopic{d} {w[0]} {w[1]}\n")
+                qrel[qid] = {f"d{d}": 1}
+        with open(base / f"qrel_{name}.json", "w") as f:
+            json.dump(qrel, f)
+        return str(qdir), str(base / f"qrel_{name}.json")
+
+    targets = rng.permutation(n_docs)[:n_train_q + n_dev_q]
+    train = [(f"q{i}", int(t)) for i, t in enumerate(targets[:n_train_q])]
+    dev = [(f"dq{i}", int(t)) for i, t in enumerate(targets[n_train_q:])]
+    return (str(docs_dir), *write_queries("queries_train", train),
+            *write_queries("queries_dev", dev))
+
+
+def dev_eval(ws_dir: str, ckpt_name: str, dev_queries_dir: str,
+             dev_qrel_path: str, num_beams: int, topk: int,
+             prefix_eval=(4, 8)):
+    """Evaluate one checkpoint on HELD-OUT queries: full-length + prefix-
+    truncated constrained retrieval (sub-smtid; reference
+    t5seq_aq_retrieve_docids_use_sub_smtid)."""
+    import jax.numpy as jnp
+
+    from ripor_tpu.data import Collection, load_docid_to_smtid, load_qrel
+    from ripor_tpu.models import RiporConfig, RiporModel
+    from ripor_tpu.models.ripor import init_ripor_params
+    from ripor_tpu.pipeline.full_recipe import stage_build_prefix_trie
+    from ripor_tpu.pipeline.recipe import (Workspace, load_tokenizer,
+                                           stage_build_trie, stage_evaluate,
+                                           stage_retrieve)
+    from ripor_tpu.train import load_params
+    import jax
+    import numpy as np
+
+    ws = Workspace(ws_dir)
+    tok = load_tokenizer(ws.path("tokenizer.json"))
+    ckpt = ws.path(f"checkpoints/{ckpt_name}")
+    cfg = RiporConfig.load(str(ckpt / "config.json"))
+    like = init_ripor_params(jax.random.PRNGKey(0), cfg)
+    params = load_params(ckpt, like=like)
+    docids, codes = load_docid_to_smtid(str(ws.path("docid_to_smtid.json")))
+    queries = Collection(dev_queries_dir)
+    qrel = load_qrel(dev_qrel_path)
+    trie = stage_build_trie(ws, codes, cfg.K)
+    out = {}
+    run = stage_retrieve(ws, cfg, params, tok, queries, trie, docids,
+                         num_beams=num_beams, topk=topk,
+                         run_name=f"dev_run_{ckpt_name}.json")
+    out["full"] = stage_evaluate(ws, run, qrel,
+                                 perf_name=f"dev_perf_{ckpt_name}.json")
+    for plen in prefix_eval:
+        ptrie = stage_build_prefix_trie(ws, np.asarray(codes), cfg.K, plen)
+        prun = stage_retrieve(ws, cfg, params, tok, queries, ptrie, docids,
+                              num_beams=num_beams, topk=topk,
+                              run_name=f"dev_run_{ckpt_name}_p{plen}.json",
+                              max_steps=plen)
+        out[f"prefix{plen}"] = stage_evaluate(
+            ws, prun, qrel, perf_name=f"dev_perf_{ckpt_name}_p{plen}.json")
+    return out
+
+
+def clone_through_phase2(src: str, dst: str):
+    """Copy a finished workspace minus every phase-3 artifact, so a second
+    run_full_recipe resumes from the SHARED phase-2 state (stage-skip
+    semantics) and only the phase-3 arm differs."""
+    if Path(dst).exists():
+        return
+    shutil.copytree(src, dst)
+    for pat in ("lng_knp_qid_smtids_scores_*", "run_phase3*", "perf_phase3*",
+                "dev_run_*", "dev_perf_*"):
+        for p in Path(dst).glob(pat):
+            p.unlink()
+    for p in Path(dst, "checkpoints").glob("phase3_*"):
+        shutil.rmtree(p)
+    final = Path(dst, "checkpoints", "final")
+    if final.exists():
+        shutil.rmtree(final)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir", nargs="?", default="/tmp/curriculum_proof")
+    ap.add_argument("--small", action="store_true",
+                    help="alias for --size small")
+    ap.add_argument("--size", choices=["small", "medium", "full"],
+                    default="full",
+                    help="small = CI driver sanity (too tiny to train); "
+                         "medium = hyperparameter calibration rung; "
+                         "full = the proof")
+    ap.add_argument("--skip-flat", action="store_true",
+                    help="skip the flat ablation arm")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    if args.small:
+        args.size = "small"
+
+    # default to CPU (the proof is a training-recipe run, not a decode
+    # bench); RIPOR_PROOF_TPU=1 keeps the chip backend. Probing
+    # jax.default_backend() here would try to grab the axon chip, which a
+    # concurrent bench may hold.
+    import jax
+    if os.environ.get("RIPOR_PROOF_TPU", "0") != "1":
+        jax.config.update("jax_platforms", "cpu")
+
+    base = Path(args.workdir); base.mkdir(parents=True, exist_ok=True)
+    if args.size == "small":
+        sizes = dict(n_clusters=12, docs_per_cluster=5, n_train_q=24,
+                     n_dev_q=12)
+        run_kw = dict(M=8, K=16, phase1_epochs=4, teacher_epochs=8,
+                      s2s_epochs=24, mm_epochs=4, phase3_epochs=6,
+                      num_beams=5, topk=10, batch_size=8)
+    elif args.size == "medium":
+        sizes = dict(n_clusters=60, docs_per_cluster=10, n_train_q=120,
+                     n_dev_q=60)
+        run_kw = dict(M=16, K=64, phase1_epochs=4, teacher_epochs=8,
+                      s2s_epochs=60, mm_epochs=6, phase3_epochs=6,
+                      num_beams=5, topk=10, batch_size=32)
+    else:
+        sizes = dict(n_clusters=120, docs_per_cluster=20, n_train_q=240,
+                     n_dev_q=120)
+        run_kw = dict(M=32, K=256, phase1_epochs=4, teacher_epochs=8,
+                      s2s_epochs=60, mm_epochs=6, phase3_epochs=6,
+                      num_beams=5, topk=10, batch_size=32)
+
+    docs_dir, tq_dir, tqrel, dq_dir, dqrel = build_corpus(
+        base, seed=args.seed, **sizes)
+    n_docs = sizes["n_clusters"] * sizes["docs_per_cluster"]
+    print(f"corpus: {n_docs} docs / {sizes['n_train_q']} train q / "
+          f"{sizes['n_dev_q']} dev q", flush=True)
+
+    from ripor_tpu.pipeline.full_recipe import run_full_recipe
+
+    common = dict(docs_dir=docs_dir, queries_dir=tq_dir, qrel_path=tqrel,
+                  vocab_size=8 * sizes["n_clusters"] + n_docs + 50,
+                  tokenizer_kind="word", seed=args.seed,
+                  pseudo_queries_per_doc=3, **run_kw)
+
+    t0 = time.time()
+    ws_cur = str(base / "ws_curriculum")
+    m_cur = run_full_recipe(workspace=ws_cur, **common)
+    print(f"curriculum arm recipe done in {time.time()-t0:.0f}s", flush=True)
+
+    results = {"corpus": sizes, "train_metrics_curriculum": m_cur}
+    results["dev"] = {
+        "phase2": dev_eval(ws_cur, "phase2_margin_mse", dq_dir, dqrel,
+                           run_kw["num_beams"], run_kw["topk"]),
+        "phase3_curriculum": dev_eval(ws_cur, "final", dq_dir, dqrel,
+                                      run_kw["num_beams"], run_kw["topk"]),
+    }
+
+    if not args.skip_flat:
+        ws_flat = str(base / "ws_flat")
+        clone_through_phase2(ws_cur, ws_flat)
+        M = run_kw["M"]
+        flat_kw = dict(common)
+        flat_kw["phase3_epochs"] = run_kw["phase3_epochs"] * 4
+        m_flat = run_full_recipe(workspace=ws_flat, curriculum=(M,),
+                                 **flat_kw)
+        results["train_metrics_flat"] = m_flat
+        results["dev"]["phase3_flat"] = dev_eval(
+            ws_flat, "final", dq_dir, dqrel,
+            run_kw["num_beams"], run_kw["topk"])
+
+    art = Path("/root/repo/artifacts"); art.mkdir(exist_ok=True)
+    out_path = art / ("curriculum_proof.json" if args.size == "full"
+                      else f"curriculum_proof_{args.size}.json")
+    results["wall_s"] = round(time.time() - t0, 1)
+    out_path.write_text(json.dumps(results, indent=1))
+
+    dev = results["dev"]
+    print("\n== dev metrics (held-out queries) ==")
+    hdr = f"{'arm':24s} {'full mrr@10':>12s} {'p4 mrr@10':>10s} {'p8 mrr@10':>10s}"
+    print(hdr)
+    for arm in ("phase2", "phase3_flat", "phase3_curriculum"):
+        if arm not in dev:
+            continue
+        d = dev[arm]
+        print(f"{arm:24s} {d['full']['mrr_10']:12.4f} "
+              f"{d['prefix4']['mrr_10']:10.4f} {d['prefix8']['mrr_10']:10.4f}")
+    print(f"artifact: {out_path}")
+
+    ok = dev["phase3_curriculum"]["full"]["mrr_10"] > dev["phase2"]["full"]["mrr_10"]
+    if "phase3_flat" in dev:
+        ok = ok and (
+            dev["phase3_curriculum"]["prefix4"]["mrr_10"]
+            + dev["phase3_curriculum"]["prefix8"]["mrr_10"]
+            >= dev["phase3_flat"]["prefix4"]["mrr_10"]
+            + dev["phase3_flat"]["prefix8"]["mrr_10"])
+    print("CURRICULUM PROOF:", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
