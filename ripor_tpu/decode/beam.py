@@ -230,7 +230,8 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
     model OUTPUT numerics (unlike the KV-cache quant, which only perturbs
     attention reads) — gate with the tools/validate_int8_e2e.py pattern
     before trusting rankings. Default: env RIPOR_FFN_INT8 (off). Only the
-    deferred/megarow paths (non-gated FFN, no TP axis).
+    deferred/megarow paths (non-gated FFN); composes with TP (per-shard
+    quantize + row-parallel psum).
     """
     M = max_steps or cfg.M
     N = num_beams
@@ -320,9 +321,13 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
         if cfg.t5.is_gated:
             raise ValueError("ffn_int8 supports only the non-gated T5 v1.0 "
                              "FFN")
-        if cfg.t5.tp_axis is not None:
-            raise ValueError("ffn_int8 is not wired for TP-sharded decode "
-                             "(row-parallel wo psum) — drop one of the two")
+        # under TP (cfg.t5.tp_axis set inside make_tp_beam_search_fn's
+        # shard_map) quantize_ffn sees the LOCAL wi/wo shards and
+        # ffn_int8_apply psums the row-parallel wo partials (int8_ffn.py)
+    if megarow:
+        from ripor_tpu.ops.megarow import FUSED_KVG as _mr_fused_kvg
+    else:
+        _mr_fused_kvg = False
     # The deferred kernel moves whole beam-row chunks; pad the beam axis
     # ONCE to a CHUNK multiple and kill ranks >= N every step (exact
     # width-N semantics) — the kernel's per-call pad fallback would copy
@@ -345,8 +350,14 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             # single-layer group overflows) and keep Np a multiple of the
             # reorder chunk too (8 | pick_chunk's multiples of 8)
             from ripor_tpu.ops.megarow import pick_layer_group
+            _fk_bytes = 0
+            if _mr_fused_kvg:
+                _fk_bytes = (rw if kvg_quant_xla
+                             else 2 * cfg.t5.inner_dim
+                             * jnp.dtype(dtype).itemsize)
             pick_layer_group(cfg.t5.num_decoder_layers, bufs[-1], rw, isz,
-                             f2=0 if kvg_quant_xla else 2 * cfg.t5.inner_dim)
+                             f2=0 if kvg_quant_xla else 2 * cfg.t5.inner_dim,
+                             fused_kv_bytes=_fk_bytes)
 
     def run(params, input_ids, attention_mask, tables):
         B = input_ids.shape[0]
@@ -469,7 +480,12 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
                     kvq = qfn(kv_new.reshape(
                         b_, n_, cfg.t5.num_decoder_layers, -1),
                         cfg.t5.num_heads).reshape(b_, n_, -1)
-                    kvg = beam_gather_rows(kvq, src)
+                    kvg = kvq if _mr_fused_kvg else beam_gather_rows(kvq, src)
+                elif _mr_fused_kvg:
+                    # RIPOR_MR_FUSED_KVG: carry kv_new UN-permuted; the
+                    # reorder kernel gathers rows by src itself (saves the
+                    # standalone XLA gather's full read+write pass)
+                    kvg = kv_new
                 else:
                     kvg = beam_gather_rows(kv_new, src)
             return new_scores, new_state, tok, codes, new_cache, src, kvg
@@ -636,7 +652,9 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
                                 deferred: Optional[bool] = None,
                                 kv_cache_int8: bool = False,
                                 kv_cache_quant: Optional[str] = None,
-                                megarow: Optional[bool] = None):
+                                megarow: Optional[bool] = None,
+                                kvg_quant_xla: Optional[bool] = None,
+                                ffn_int8: Optional[bool] = None):
     """Data-parallel constrained beam search: queries shard over the mesh's
     'data' axis, params + trie tables replicate, each device runs the full
     decode on its query shard (replaces the reference's one-query-per-GPU
@@ -653,7 +671,9 @@ def make_sharded_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
                                 deferred=deferred,
                                 kv_cache_int8=kv_cache_int8,
                                 kv_cache_quant=kv_cache_quant,
-                                megarow=megarow)
+                                megarow=megarow,
+                                kvg_quant_xla=kvg_quant_xla,
+                                ffn_int8=ffn_int8)
 
     def _sharded(params, input_ids, attention_mask, tables):
         return shard_map(
@@ -720,7 +740,10 @@ def make_tp_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
                            cache_segments: int = 4,
                            deferred: Optional[bool] = None,
                            kv_cache_int8: bool = False,
-                           kv_cache_quant: Optional[str] = None):
+                           kv_cache_quant: Optional[str] = None,
+                           kvg_quant_xla: Optional[bool] = None,
+                           megarow: Optional[bool] = None,
+                           ffn_int8: Optional[bool] = None):
     """Tensor-parallel (optionally x data-parallel) constrained beam search.
 
     Attention heads, d_ff, and the KV cache shard over the mesh's 'model'
@@ -735,6 +758,13 @@ def make_tp_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
     (~2.7x t5-base rows) overflows a single chip's HBM that the reference
     sidesteps with 4x A100-80GB DDP (reference README.md:23). Pass params
     UNSHARDED (replicated/host); shard_map slices them per device.
+
+    Composes with the full production fast path: ``megarow`` (the
+    all-layers reorder kernel runs on the per-device head shard — the
+    merged-head row width RW simply halves per 2-way split, and int4/int8
+    quantization groups are per-head so shards stay self-contained),
+    ``kvg_quant_xla``, and ``ffn_int8`` (per-shard quantize + row-parallel
+    int8 wo with an f32 psum, ops/int8_ffn.py).
 
     num_heads and d_ff must divide the 'model' axis size."""
     import dataclasses as _dc
@@ -758,7 +788,9 @@ def make_tp_beam_search_fn(cfg: RiporConfig, num_beams: int, mesh,
                                 cache_segments=cache_segments,
                                 deferred=deferred,
                                 kv_cache_int8=kv_cache_int8,
-                                kv_cache_quant=kv_cache_quant)
+                                kv_cache_quant=kv_cache_quant,
+                                kvg_quant_xla=kvg_quant_xla,
+                                megarow=megarow, ffn_int8=ffn_int8)
 
     @jax.jit
     def run(params, input_ids, attention_mask, tables):

@@ -180,7 +180,8 @@ class DecoderLayer(nn.Module):
         x = x + self._proj_out_cross(attn)
         if ffn_q is not None:
             from ripor_tpu.ops.int8_ffn import ffn_int8_apply
-            return x + ffn_int8_apply(self.ffn_norm(x), *ffn_q)
+            return x + ffn_int8_apply(self.ffn_norm(x), *ffn_q,
+                                      tp_axis=self.cfg.tp_axis)
         x = x + self.ffn(self.ffn_norm(x), deterministic=True)
         return x
 
@@ -380,9 +381,12 @@ class Decoder(nn.Module):
         restructure of decode_step_deferred; same pending-reorder dataflow).
 
         x: [B, N, d]; cache_src/cache_dst: [B, N, L, Mc, RW] ping-pong pair
-        (init_cache_megarow); src: [B, N] int32; kvg: [B, N, L*2F].
+        (init_cache_megarow); src: [B, N] int32; kvg: [B, N, L*2F] — in
+        RIPOR_MR_FUSED_KVG mode this is step t-1's UN-permuted kv_new and
+        the reorder kernel gathers rows by src itself.
         Returns (hidden, new_cache, kv_new [B, N, L*2F])."""
-        from ripor_tpu.ops.megarow import reorder_cache_all, step_attention_seq
+        from ripor_tpu.ops.megarow import (FUSED_KVG, reorder_cache_all,
+                                           step_attention_seq)
         cfg = self.cfg
         B, N = x.shape[:2]
         cache_len = cache_src.shape[3]
@@ -394,7 +398,7 @@ class Decoder(nn.Module):
         bias_new = jax.lax.dynamic_index_in_dim(
             bias_row, t, axis=1, keepdims=False)[None, :]    # [1, H]
         cache = reorder_cache_all(kvg, cache_src, cache_dst, src, t,
-                                  cfg.num_heads)
+                                  cfg.num_heads, fused_kvg=FUSED_KVG)
         kvnews = []
         for l, (layer, (enc_k, enc_v)) in enumerate(zip(self.layers, cross_kv)):
             q, k, v = layer.step_qkv(x)

@@ -58,12 +58,20 @@ def quantize_ffn(params, n_layers: int) -> FfnQ:
     return wi_q, wi_s, wo_q, wo_s
 
 
-def ffn_int8_apply(h, wi_q, wi_s, wo_q, wo_s, out_dtype=None):
+def ffn_int8_apply(h, wi_q, wi_s, wo_q, wo_s, out_dtype=None, tp_axis=None):
     """relu FFN with int8 weights + per-row dynamic int8 activations.
 
     h: [..., d] the ffn_norm output for ONE layer; wi_q [d, f] / wo_q [f, d]
     int8 with f32 scales [1, f] / [1, d]. Returns [..., d] in ``out_dtype``
     (default: h's dtype).
+
+    ``tp_axis``: megatron row-parallel composition — wi column-sharded /
+    wo row-sharded over the axis, h replicated; the wo partial products
+    psum in f32 BEFORE the output cast (mirrors FeedForward's bf16 TP path,
+    models/layers.py:187-188). Per-shard quantization scales (wo_s from the
+    local f/mp rows, the hidden activation scale sh from the local columns)
+    make each shard a self-contained int8 scheme whose dequantized partials
+    sum exactly like the bf16 partials do.
     """
     out_dtype = out_dtype or h.dtype
     shape = h.shape
@@ -78,4 +86,6 @@ def ffn_int8_apply(h, wi_q, wi_s, wo_q, wo_s, out_dtype=None):
     acc2 = jax.lax.dot_general(hi, wo_q, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
     y = acc2.astype(jnp.float32) * (sh / 127.0) * wo_s
+    if tp_axis is not None:
+        y = jax.lax.psum(y, tp_axis)
     return y.astype(out_dtype).reshape(shape)
