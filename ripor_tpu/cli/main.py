@@ -414,6 +414,8 @@ def cmd_serve(args):
     scfg = ServeConfig(num_beams=args.beam, topk=args.topk,
                        batch_sizes=tuple(args.batch_sizes),
                        kv_cache_quant=args.kv_quant or None,
+                       ffn_int8=args.ffn_int8 or None,
+                       ckpt_dir=str(ws.path(f"checkpoints/{args.phase}")),
                        max_delay_ms=args.max_delay_ms)
     print(f"warming shapes {scfg.batch_sizes} ...")
     if args.mode == "dense":
@@ -536,6 +538,10 @@ def main(argv=None):
     ps.add_argument("--batch-sizes", type=int, nargs="+", default=[1, 4, 8])
     ps.add_argument("--kv-quant", default="",
                     help="int8|int4 decode KV cache (TPU)")
+    ps.add_argument("--ffn-int8", action="store_true",
+                    help="int8-weight FFN — preflighted against the "
+                         "checkpoint's quant_validation.json (refuses when "
+                         "unvalidated; tools/validate_ffn_int8_e2e.py)")
     ps.add_argument("--max-delay-ms", type=float, default=5.0)
     ps.add_argument("--mode", choices=["beam", "dense"], default="beam")
     ps.add_argument("--mmap-dir", default=None,

@@ -84,11 +84,20 @@ docids, codes = load_docid_to_smtid(str(ws.path("docid_to_smtid.json")))
 trie = stage_build_trie(ws, codes, cfg.K)
 exact_run = json.load(open(ws.path("run.json")))
 
-os.environ["RIPOR_FFN_INT8"] = "1"   # env fallback in make_beam_search_fn
-for tag, quant in (("ffn_int8", None), ("ffn_int8+int4kv", "int4")):
+from ripor_tpu.decode.quant_gate import (ensure_quant_validated,
+                                         quant_combo_key,
+                                         record_quant_validation)
+
+for quant in (None, "int4"):
+    tag = quant_combo_key(quant, True)
+    # this IS the validator, so it bypasses its own gate via the explicit
+    # override env (scoped to the retrieve call)
+    os.environ["RIPOR_UNVALIDATED_QUANT_OK"] = "1"
     runq = stage_retrieve(ws, cfg, params, tok, queries, trie, docids,
                           num_beams=10, topk=20,
-                          run_name=f"run_{tag}.json", kv_cache_quant=quant)
+                          run_name=f"run_{tag}.json", kv_cache_quant=quant,
+                          ffn_int8=True, ckpt_dir=str(ckpt_dir))
+    del os.environ["RIPOR_UNVALIDATED_QUANT_OK"]
     mq = stage_evaluate(ws, runq, load_qrel(qrel_path),
                         perf_name=f"perf_{tag}.json")
     print(f"{tag}-path metrics:", mq, flush=True)
@@ -100,5 +109,15 @@ for tag, quant in (("ffn_int8", None), ("ffn_int8+int4kv", "int4")):
             rank = sorted(drun, key=drun.get, reverse=True)
             rankq = sorted(dq, key=dq.get, reverse=True)
             same_order += rank == rankq
+    verdict = record_quant_validation(
+        str(ckpt_dir), tag, n_queries=len(exact_run),
+        set_identical=same_set, order_identical=same_order,
+        metrics_identical=(mq == metrics))
     print(f"{tag}: {same_set}/{len(exact_run)} identical doc sets, "
-          f"{same_order} identical orderings", flush=True)
+          f"{same_order} identical orderings -> recorded "
+          f"accepted={verdict['accepted']}", flush=True)
+    try:   # the gate now reflects this verdict
+        ensure_quant_validated(quant, True, ckpt_dir=str(ckpt_dir))
+        print(f"{tag}: quant_gate ACCEPTS this combo for the checkpoint")
+    except ValueError as e:
+        print(f"{tag}: quant_gate refuses: {e}")
