@@ -77,6 +77,13 @@ SEQ_MODE = os.environ.get("RIPOR_MR_SEQ", "manual")
 # stay in flight (the 2-slot version measured 293 GB/s combined vs the 433
 # ceiling — not enough DMA depth at 8 descriptors/cell)
 NSLOTS = int(os.environ.get("RIPOR_MR_NSLOTS", "4"))
+# RIPOR_MR_FUSED_KVG: carry step t-1's kv_new UN-permUTED through the scan
+# and let the reorder kernel gather each beam's kvg row by ``src`` itself
+# (one extra small DMA per (beam, layer-group) cell, hidden under the big
+# row reads) instead of running a standalone XLA beam_gather_rows pass —
+# saves the gather's full read+write over [B, N, L*2F] every step
+# (CLAUDE.md b8 budget: kvg gather ~1.9-2.1 ms/step).
+FUSED_KVG = os.environ.get("RIPOR_MR_FUSED_KVG", "0") == "1"
 # ablation instrumentation (tools/bench_decode_ablate.py mr_dma_stub): shrink
 # kernel B's row reads to an [8, 128] corner per beam group — keeps the
 # descriptor count and the full attention math (on stale buffer contents) so
@@ -86,17 +93,21 @@ _DMA_STUB = os.environ.get("RIPOR_MR_DMA_STUB", "0") == "1"
 
 
 def pick_layer_group(L: int, Mc: int, RW: int, isz: int,
-                     f2: int = 0) -> int:
+                     f2: int = 0, fused_kv_bytes: int = 0) -> int:
     """Largest divisor of L whose [NSLOTS, REORDER_CHUNK, lg, Mc, RW]
     revolving row buffer PLUS the in-kernel quantize's f32 temporaries
     (~9 live copies of the [chunk*lg, f2] kvg rows — calibrated against a
     measured Mosaic scoped-VMEM usage of 16.11 MB at lg=12/NSLOTS=4/int4,
     11.0 MB buffer) fits scoped VMEM. ``f2`` is the bf16 kvg row width per
-    layer (2F), 0 if pre-quantized."""
+    layer (2F), 0 if pre-quantized. ``fused_kv_bytes`` is the per-(beam,
+    layer) kvg row byte width when the kernel gathers kvg itself
+    (FUSED_KVG): it adds a second [NSLOTS, chunk, lg, krow] revolving
+    buffer."""
     for lg in sorted((d for d in range(1, L + 1) if L % d == 0),
                      reverse=True):
         need = (NSLOTS * REORDER_CHUNK * lg * Mc * RW * isz
-                + 9 * REORDER_CHUNK * lg * f2 * 4)
+                + 9 * REORDER_CHUNK * lg * f2 * 4
+                + NSLOTS * REORDER_CHUNK * lg * fused_kv_bytes)
         if need <= _VMEM_BUDGET:
             return lg
     raise ValueError(
@@ -105,14 +116,22 @@ def pick_layer_group(L: int, Mc: int, RW: int, isz: int,
 
 
 def _reorder_kernel(src_ref, tt_ref, kvg_ref, cache_ref, dst_ref,
-                    cache_out_ref, buf, isems, osems, *, num_heads: int,
+                    cache_out_ref, buf, *rest, num_heads: int,
                     quant: "str | None", kvg_pre: bool, chunk: int, lg: int,
-                    pipelined: bool):
+                    krow: int, fused: bool, pipelined: bool):
     """Grid cell: gather ``chunk`` beams' [lg, Mc, RW] row blocks by src,
     insert kvg at slot t-1, write the ordered slab back. Reads for the
     next NSLOTS-1 cells revolve through the buffer slots (2-slot double
     buffering measured 293 GB/s combined vs the 433 ceiling — per-cell
-    descriptor depth was too shallow)."""
+    descriptor depth was too shallow). In ``fused`` mode kvg is an HBM
+    operand holding UN-permuted kv_new rows; each beam's [lg*krow] slice is
+    gathered by src through a second revolving buffer (the small copies
+    hide under the big row reads)."""
+    if fused:
+        kvbuf, isems, osems, ksems = rest
+    else:
+        isems, osems = rest
+        kvbuf = ksems = None
     del dst_ref  # aliased to cache_out_ref's buffer
     b = pl.program_id(0)
     g = pl.program_id(1)
@@ -138,12 +157,21 @@ def _reorder_kernel(src_ref, tt_ref, kvg_ref, cache_ref, dst_ref,
             pltpu.make_async_copy(
                 cache_ref.at[b2, row, pl.ds(g2 * lg, lg)],
                 buf.at[s2, j], isems.at[s2]).start()
+            if fused:
+                pltpu.make_async_copy(
+                    kvg_ref.at[b2, row, pl.ds(g2 * lg * krow, lg * krow)],
+                    kvbuf.at[s2, j], ksems.at[s2]).start()
 
     def wait_ins(s2):
         for j in range(chunk):
             pltpu.make_async_copy(
                 cache_ref.at[b, src_ref[b, c * chunk + j], pl.ds(g * lg, lg)],
                 buf.at[s2, j], isems.at[s2]).wait()
+            if fused:
+                pltpu.make_async_copy(
+                    kvg_ref.at[b, src_ref[b, c * chunk + j],
+                               pl.ds(g * lg * krow, lg * krow)],
+                    kvbuf.at[s2, j], ksems.at[s2]).wait()
 
     def wait_outs(s2):
         # reconstructed same-shaped descriptor (the wait consumes the
@@ -153,22 +181,28 @@ def _reorder_kernel(src_ref, tt_ref, kvg_ref, cache_ref, dst_ref,
             cache_out_ref.at[b, pl.ds(c * chunk, chunk), pl.ds(g * lg, lg)],
             osems.at[s2]).wait()
 
-    # prepare the slot-(t-1) insert rows FIRST: kvg is a pipelined operand
-    # (already in VMEM), so the quantize compute overlaps the row DMAs
-    # being waited below instead of sitting between wait and writeback
-    F2 = kvg_ref.shape[2] // lg
-    kvrows = kvg_ref[0].reshape(chunk * lg, F2)
-    if kvg_pre:
-        ins = kvrows       # pre-quantized cache-layout rows: insert verbatim
-    elif quant == "int4":
-        q4, epad = _quantize_rows_int4(kvrows, num_heads)
-        ins = jnp.concatenate([q4, epad], axis=1)
-    elif quant == "int8":
-        q8, epad = _quantize_rows(kvrows, num_heads)
-        ins = jnp.concatenate([q8, epad], axis=1)
-    else:
-        ins = kvrows
-    ins = ins.reshape(chunk, lg, 1, ins.shape[-1])
+    # prepare the slot-(t-1) insert rows FIRST when kvg is a pipelined
+    # operand (already in VMEM): the quantize compute overlaps the row DMAs
+    # being waited below instead of sitting between wait and writeback.
+    # In fused mode the rows arrive with wait_ins, so this moves below.
+    F2 = krow
+    if not fused:
+        kvrows = kvg_ref[0].reshape(chunk * lg, F2)
+    def make_ins(kvrows):
+        if kvg_pre:
+            ins = kvrows   # pre-quantized cache-layout rows: insert verbatim
+        elif quant == "int4":
+            q4, epad = _quantize_rows_int4(kvrows, num_heads)
+            ins = jnp.concatenate([q4, epad], axis=1)
+        elif quant == "int8":
+            q8, epad = _quantize_rows(kvrows, num_heads)
+            ins = jnp.concatenate([q8, epad], axis=1)
+        else:
+            ins = kvrows
+        return ins.reshape(chunk, lg, 1, ins.shape[-1])
+
+    if not fused:
+        ins = make_ins(kvrows)
 
     if pipelined:
         @pl.when(i == 0)
@@ -189,6 +223,8 @@ def _reorder_kernel(src_ref, tt_ref, kvg_ref, cache_ref, dst_ref,
         issue_ins(i, cur)
 
     wait_ins(cur)
+    if fused:
+        ins = make_ins(kvbuf[cur].reshape(chunk * lg, F2))
     # complete the deferred reorder: slot t-1 := step t-1's k/v for every
     # layer in this group (quantized caches quantize exactly once). A
     # read-modify-write of the ALIGNED 8-slot window around t-1, NOT a
@@ -217,14 +253,18 @@ def _reorder_kernel(src_ref, tt_ref, kvg_ref, cache_ref, dst_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
-                                             "chunk", "lg"))
+                                             "chunk", "lg", "fused_kvg"))
 def reorder_cache_all(kvg, cache_src, cache_dst, src, t, num_heads: int,
                       interpret: bool = None, chunk: int = None,
-                      lg: int = None):
+                      lg: int = None, fused_kvg: bool = False):
     """Beam-reorder the ENTIRE megarow cache (all layers) in one pass.
 
-    kvg: [B, N, L*2F] step t-1's K|V for all layers, already permuted to
-    current beam order (layer-major rows, exact bf16/f32);
+    kvg: [B, N, L*2F] step t-1's K|V for all layers (layer-major rows,
+    exact bf16/f32 — or cache-layout int8 rows when pre-quantized). When
+    ``fused_kvg`` is False the rows are already permuted to current beam
+    order; when True they are UN-permuted (row j is previous-beam j's) and
+    the kernel gathers row src[b, n] itself alongside the cache row reads
+    (RIPOR_MR_FUSED_KVG — saves the standalone XLA gather pass);
     cache_src: [B, N, L, Mc, RW] ordered for the previous step's beams
     (slots [0, t-1) valid); cache_dst: ping-pong partner (aliased output);
     src: [B, N] int32 current-beam -> previous-row map.
@@ -251,7 +291,9 @@ def reorder_cache_all(kvg, cache_src, cache_dst, src, t, num_heads: int,
     assert src.shape == (B, N), src.shape
     if lg is None:
         lg = pick_layer_group(L, Mc, RW, cache_src.dtype.itemsize,
-                              f2=0 if kvg_pre else krow)
+                              f2=0 if kvg_pre else krow,
+                              fused_kv_bytes=(krow * kvg.dtype.itemsize
+                                              if fused_kvg else 0))
     if chunk is None:
         chunk = REORDER_CHUNK
     if N % chunk != 0:
@@ -261,30 +303,45 @@ def reorder_cache_all(kvg, cache_src, cache_dst, src, t, num_heads: int,
             jnp.pad(cache_src, ((0, 0), (0, pad)) + ((0, 0),) * 3),
             jnp.pad(cache_dst, ((0, 0), (0, pad)) + ((0, 0),) * 3),
             jnp.pad(src, ((0, 0), (0, pad))),
-            t, num_heads, interpret=interpret, chunk=chunk, lg=lg)
+            t, num_heads, interpret=interpret, chunk=chunk, lg=lg,
+            fused_kvg=fused_kvg)
         return padded[:, :N]
 
     kernel = functools.partial(_reorder_kernel, num_heads=num_heads,
                                quant=quant, kvg_pre=kvg_pre, chunk=chunk,
-                               lg=lg, pipelined=not interpret)
+                               lg=lg, krow=krow, fused=fused_kvg,
+                               pipelined=not interpret)
     tt = jnp.asarray(t, jnp.int32).reshape(1)
+    if fused_kvg:
+        # kvg lives in HBM; the kernel gathers [lg*krow] row slices by src
+        kvg_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [
+            pltpu.VMEM((NSLOTS, chunk, lg, Mc, RW), cache_src.dtype),
+            pltpu.VMEM((NSLOTS, chunk, lg * krow), kvg.dtype),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
+        ]
+    else:
+        # kvg is [B, N, L*krow] layer-major: group g covers layers
+        # [g*lg, (g+1)*lg) = columns [g*lg*krow, ...) -> block index g
+        kvg_spec = pl.BlockSpec((1, chunk, lg * krow),
+                                lambda b, g, c, s_, t_: (b, c, g))
+        scratch = [
+            pltpu.VMEM((NSLOTS, chunk, lg, Mc, RW), cache_src.dtype),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, L // lg, N // chunk),
         in_specs=[
-            # kvg is [B, N, L*krow] layer-major: group g covers layers
-            # [g*lg, (g+1)*lg) = columns [g*lg*krow, ...) -> block index g
-            pl.BlockSpec((1, chunk, lg * krow),
-                         lambda b, g, c, s_, t_: (b, c, g)),
+            kvg_spec,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((NSLOTS, chunk, lg, Mc, RW), cache_src.dtype),
-            pltpu.SemaphoreType.DMA((NSLOTS,)),
-            pltpu.SemaphoreType.DMA((NSLOTS,)),
-        ],
+        scratch_shapes=scratch,
     )
     new_cache = pl.pallas_call(
         kernel,

@@ -505,6 +505,39 @@ def test_megarow_int4_retrieval_robust():
             (b, set0, set1)
 
 
+def test_megarow_fused_kvg_bit_identical():
+    """RIPOR_MR_FUSED_KVG (reorder kernel gathers step t-1's kv_new rows by
+    ``src`` itself instead of a standalone XLA gather pass) must be
+    bit-identical to the default megarow path: the gather commutes with the
+    in-kernel quantize-and-insert."""
+    import ripor_tpu.ops.megarow as mr
+    from ripor_tpu.decode.beam import make_beam_search_fn
+    from ripor_tpu.trie.succinct import succinct_tables
+
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=6, K=8, n_docs=40)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+    base_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                                  use_pallas_gather=False, megarow=True,
+                                  cache_segments=3, kv_cache_quant="int4")
+    s0, c0, st0 = base_fn(params, ids, mask, tables)
+    old = mr.FUSED_KVG
+    try:
+        mr.FUSED_KVG = True
+        jax.clear_caches()
+        fused_fn = make_beam_search_fn(cfg, 5, constrained=True,
+                                       dtype=jnp.float32,
+                                       use_pallas_gather=False, megarow=True,
+                                       cache_segments=3,
+                                       kv_cache_quant="int4")
+        s1, c1, st1 = fused_fn(params, ids, mask, tables)
+    finally:
+        mr.FUSED_KVG = old
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
+
+
 def test_quantize_rows_xla_int4_matches_kernel_quantizer():
     """quantize_rows_xla_int4 (megarow pre-gather quantize) must be
     bit-identical to the in-kernel _quantize_rows_int4 per row."""
