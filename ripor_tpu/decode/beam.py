@@ -326,8 +326,17 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
         # ffn_int8_apply psums the row-parallel wo partials (int8_ffn.py)
     if megarow:
         from ripor_tpu.ops.megarow import FUSED_KVG as _mr_fused_kvg
+        from ripor_tpu.ops.megarow import QFUSE as _mr_qfuse
+        _mr_qfuse = _mr_qfuse and quant is not None
+        if _mr_qfuse:
+            # QFUSE: kernel B emits cache-layout quantized kv rows, so the
+            # carried kvg is int8 exactly like kvg_quant_xla's — reuse that
+            # mode's init/insert plumbing (kvg_pre) minus its standalone
+            # quantize pass
+            kvg_quant_xla = True
     else:
         _mr_fused_kvg = False
+        _mr_qfuse = False
     # The deferred kernel moves whole beam-row chunks; pad the beam axis
     # ONCE to a CHUNK multiple and kill ranks >= N every step (exact
     # width-N semantics) — the kernel's per-call pad fallback would copy
@@ -464,11 +473,17 @@ def make_beam_search_fn(cfg: RiporConfig, num_beams: int,
             logits, new_cache, kv_new = model.apply(
                 {"params": params}, tokens, ca, cb, src_prev, kvg,
                 cross_kv, enc_bias, self_bias, t, ar_chunk, ffn_q,
+                quant if _mr_qfuse else None,
                 method=RiporModel.decode_step_megarow)
             new_scores, new_state, tok, codes, src = select(
                 beam_scores, state, codes, logits, t)
             if write_back:
-                if kvg_quant_xla:
+                if _mr_qfuse:
+                    # kv_new is already cache-layout int8 (kernel B's QFUSE
+                    # output) — gather the 2-4x smaller rows directly
+                    kvg = (kv_new if _mr_fused_kvg
+                           else beam_gather_rows(kv_new, src))
+                elif kvg_quant_xla:
                     # quantize BEFORE the gather (bit-identical inserts —
                     # see make_beam_search_fn docstring) so the kvg gather
                     # moves cache-layout int8/int4 rows

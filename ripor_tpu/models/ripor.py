@@ -269,7 +269,8 @@ class RiporModel(nn.Module):
 
     def decode_step_megarow(self, tokens, cache_src, cache_dst, src, kvg,
                             cross_kv: CrossKV, enc_bias, self_bias, t,
-                            ar_chunk: Optional[int] = None, ffn_q=None):
+                            ar_chunk: Optional[int] = None, ffn_q=None,
+                            emit_quant: Optional[str] = None):
         """decode_step_deferred over the beam-major megarow cache
         (Decoder.decode_step_megarow / ops/megarow.py): one all-layers
         reorder kernel per step + sequential-read attention per layer.
@@ -284,7 +285,8 @@ class RiporModel(nn.Module):
         x = jnp.where(t == 0, start, tok_embed)
         hidden, new_cache, kv_new = self.decoder.decode_step_megarow(
             x, cache_src, cache_dst, src, kvg, cross_kv, enc_bias,
-            self_bias, t, ar_chunk=ar_chunk, ffn_q=ffn_q)
+            self_bias, t, ar_chunk=ar_chunk, ffn_q=ffn_q,
+            emit_quant=emit_quant)
         hidden = self._maybe_scale(hidden)
         logits = jnp.einsum("bnd,kd->bnk", hidden, self._out_books()[t],
                             preferred_element_type=jnp.float32)

@@ -373,7 +373,7 @@ class Decoder(nn.Module):
 
     def decode_step_megarow(self, x, cache_src, cache_dst, src, kvg,
                             cross_kv: CrossKV, enc_bias, self_bias_full, t,
-                            ar_chunk=None, ffn_q=None):
+                            ar_chunk=None, ffn_q=None, emit_quant=None):
         """TPU decode step over the beam-major megarow cache: ONE all-layers
         reorder kernel completes the deferred beam permutation (+ slot t-1
         insert) up front, then each layer's attention streams its already
@@ -384,7 +384,14 @@ class Decoder(nn.Module):
         (init_cache_megarow); src: [B, N] int32; kvg: [B, N, L*2F] — in
         RIPOR_MR_FUSED_KVG mode this is step t-1's UN-permuted kv_new and
         the reorder kernel gathers rows by src itself.
-        Returns (hidden, new_cache, kv_new [B, N, L*2F])."""
+        Returns (hidden, new_cache, kv_new [B, N, L*2F]).
+
+        ``emit_quant`` ("int8"/"int4", RIPOR_MR_QFUSE): the attention
+        kernel additionally emits each layer's fresh kv quantized to
+        cache-layout rows, and the returned kv_new is the int8
+        [B, N, L*RW] stack — the caller gathers it and the next step's
+        reorder inserts it verbatim (kvg_pre), skipping both the in-kernel
+        quantize and any standalone XLA quantize pass."""
         from ripor_tpu.ops.megarow import (FUSED_KVG, reorder_cache_all,
                                            step_attention_seq)
         cfg = self.cfg
@@ -406,11 +413,16 @@ class Decoder(nn.Module):
             kvf = jnp.concatenate([k.reshape(B, N, -1),
                                    v.reshape(B, N, -1)], axis=-1)
             attn = step_attention_seq(qf, kvf, cache, l, bias_hist, bias_new,
-                                      cfg.num_heads, chunk=ar_chunk)
+                                      cfg.num_heads, chunk=ar_chunk,
+                                      emit_quant=emit_quant)
+            if emit_quant:
+                attn, kvq = attn
+                kvnews.append(kvq)
+            else:
+                kvnews.append(kvf)
             lq = None if ffn_q is None else tuple(a[l] for a in ffn_q)
             x = layer.step_finish_with_attn(x, attn, enc_k, enc_v, enc_bias,
                                             ffn_q=lq)
-            kvnews.append(kvf)
         kv_new = jnp.stack(kvnews, axis=2).reshape(B, N, -1)
         return self.final_norm(x), cache, kv_new
 

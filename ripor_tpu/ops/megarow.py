@@ -83,7 +83,30 @@ NSLOTS = int(os.environ.get("RIPOR_MR_NSLOTS", "4"))
 # row reads) instead of running a standalone XLA beam_gather_rows pass —
 # saves the gather's full read+write over [B, N, L*2F] every step
 # (CLAUDE.md b8 budget: kvg gather ~1.9-2.1 ms/step).
+# MEASURED DEAD END ON HARDWARE (r3): Mosaic rejects the per-beam kvg
+# slice — `tpu.memref_slice` of the 3-D [B, N, L*2F] HBM operand takes a
+# size-1 dynamic slice of dim 1, and N is a TILED dim there ("slice shape
+# along dimension 1 must be aligned to tiling (8)"); interpret mode hid
+# it, exactly like RIPOR_MR_INS=dma. A legal layout needs kvg as 5-D
+# [B, N, G, lg, krow] so only (lg, krow) are tiled — at lg∉8ℤ that pads
+# every tile 25-33%, and the in-kernel [chunk, lg, krow]->[chunk*lg, krow]
+# merge is a further relayout risk. Superseded by RIPOR_MR_QFUSE below,
+# which removes most of the same gather bytes with no Mosaic exposure.
+# Kept for interpret-mode parity coverage; do not enable on TPU.
 FUSED_KVG = os.environ.get("RIPOR_MR_FUSED_KVG", "0") == "1"
+# RIPOR_MR_QFUSE: for quantized caches, kernel B quantizes each layer's
+# fresh kv rows to cache layout as an EXTRA OUTPUT (kvf is already in VMEM
+# as its pipelined operand — the quantize rides the existing cell, ~free),
+# so the scan carries int8 cache-layout kvg and the XLA beam gather moves
+# 2-4x fewer bytes. This is RIPOR_MR_KVG_XLA without the standalone
+# quantize pass that made that mode 12% SLOWER (the pass re-read+wrote
+# ~455 MB/step of kv_new that the kernel sees for free). Bit-identical to
+# the in-kernel-insert default: same _quantize_rows* helpers on the same
+# values, and per-row quantization commutes with the row gather.
+# Default ON for quantized megarow caches since r3: measured 8.18 vs 8.09
+# qps (b12/beam1000/int4, one v5e chip) — the gather shrinks 4x but the
+# extra kernel-B output write claws back part of it.
+QFUSE = os.environ.get("RIPOR_MR_QFUSE", "1") == "1"
 # ablation instrumentation (tools/bench_decode_ablate.py mr_dma_stub): shrink
 # kernel B's row reads to an [8, 128] corner per beam group — keeps the
 # descriptor count and the full attention math (on stale buffer contents) so
@@ -449,16 +472,34 @@ def _seq_math_quant(qb, kvnew, bias_hist, bias_new, rows,
     return out + pn * v_new.astype(jnp.float32)
 
 
+def _emit_quant_rows(kvnew_ref, kvq_ref, num_heads: int, emit_quant: str):
+    """QFUSE: quantize this cell's fresh [chunk, 2F] kv rows (already in
+    VMEM as the kvnew pipelined operand) to cache layout and write them to
+    the extra output — same helpers as the reorder kernel's insert, so the
+    carried kvg is bit-identical to what kernel A would have produced."""
+    kvr = kvnew_ref[0]
+    if emit_quant == "int4":
+        qq, ee = _quantize_rows_int4(kvr, num_heads)
+    else:
+        qq, ee = _quantize_rows(kvr, num_heads)
+    kvq_ref[0] = jnp.concatenate([qq, ee], axis=1)
+
+
 def _seq_kernel(lt_ref, q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
-                cache_ref, attn_ref, buf, isems, *, num_heads: int,
+                cache_ref, attn_ref, *rest, num_heads: int,
                 quant: "str | None", chunk: int, wg: int, mtile: int,
-                pipelined: bool):
+                emit_quant: "str | None", pipelined: bool):
     """Grid cell: stream this layer's [chunk, Mc, RW] reordered rows in
     wg-beam strided descriptors (double-buffered across cells), then run
     the attention math in ``mtile``-beam sub-tiles (bounds the math's
     [tile*Mc, F] temporaries so the cell width can grow past pick_chunk's
     envelope — fewer cells = less of the ~1.7 us/cell fixed overhead the
     dma-stub ablation isolated)."""
+    if emit_quant:
+        kvq_ref, buf, isems = rest
+    else:
+        kvq_ref = None
+        buf, isems = rest
     b = pl.program_id(0)
     c = pl.program_id(1)
     nc = pl.num_programs(1)
@@ -508,6 +549,11 @@ def _seq_kernel(lt_ref, q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
     else:
         issue_ins(b, c, cur)
 
+    if emit_quant:
+        # QFUSE: quantize this cell's fresh kv rows while its row reads are
+        # in flight (kvnew is already VMEM-resident as a pipelined operand)
+        _emit_quant_rows(kvnew_ref, kvq_ref, num_heads, emit_quant)
+
     wait_ins(cur)
     bh = bias_hist_ref[...]
     bn = bias_new_ref[...]
@@ -523,10 +569,13 @@ def _seq_kernel(lt_ref, q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
 
 
 def _seq_kernel_stream(lt_ref, q_ref, kvnew_ref, bias_hist_ref,
-                       bias_new_ref, rows_ref, attn_ref, *, num_heads: int,
-                       quant: "str | None", chunk: int, mtile: int):
+                       bias_new_ref, rows_ref, attn_ref, *rest,
+                       num_heads: int, quant: "str | None", chunk: int,
+                       mtile: int, emit_quant: "str | None"):
     """BlockSpec-streaming variant: the pallas pipeline DMAs this layer's
     [1, chunk, 1, Mc, RW] block (double-buffered across cells) — same math."""
+    if emit_quant:
+        _emit_quant_rows(kvnew_ref, rest[0], num_heads, emit_quant)
     bh = bias_hist_ref[...]
     bn = bias_new_ref[...]
     for j0 in range(0, chunk, mtile):
@@ -541,10 +590,11 @@ def _seq_kernel_stream(lt_ref, q_ref, kvnew_ref, bias_hist_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
-                                             "chunk", "wg"))
+                                             "chunk", "wg", "emit_quant"))
 def step_attention_seq(q, kv_new, cache, layer, bias_hist, bias_new,
                        num_heads: int, interpret: bool = None,
-                       chunk: int = None, wg: int = None):
+                       chunk: int = None, wg: int = None,
+                       emit_quant: str = None):
     """One-position cached self-attention over the REORDERED megarow cache.
 
     q: [B, N, F]; kv_new: [B, N, 2F] position-t K|V (current beams, not in
@@ -552,6 +602,11 @@ def step_attention_seq(q, kv_new, cache, layer, bias_hist, bias_new,
     current beam order (reorder_cache_all ran first this step);
     layer: scalar int32; bias_hist: [Mc, H] f32 (slots >= t masked);
     bias_new: [1, H] f32. Returns attention output [B, N, F].
+
+    ``emit_quant`` ("int8"/"int4", QFUSE): additionally quantize kv_new to
+    cache-layout rows inside the kernel and return (attn, kvq [B, N, RW]
+    int8) — the rows the NEXT step's reorder inserts verbatim (kvg_pre),
+    bit-identical to the in-kernel insert quantizer.
     """
     if interpret is None:  # CPU tests run the kernel in interpret mode
         interpret = jax.default_backend() != "tpu"
@@ -561,6 +616,11 @@ def step_attention_seq(q, kv_new, cache, layer, bias_hist, bias_new,
         quant = "int4" if RW == F + SCALE_COLS else "int8"
     else:
         quant = None
+    if emit_quant is not None and emit_quant != quant:
+        raise ValueError(
+            f"emit_quant={emit_quant!r} must match the cache quantization "
+            f"({quant!r}) — the emitted rows are next step's verbatim "
+            f"cache inserts")
     assert kv_new.shape == (B, N, 2 * F), kv_new.shape
     if chunk is None:
         chunk = pick_chunk(Mc, RW, cache.dtype.itemsize)
@@ -577,18 +637,30 @@ def step_attention_seq(q, kv_new, cache, layer, bias_hist, bias_new,
         wg = wg if chunk % wg == 0 else 1
     if N % chunk != 0:
         pad = chunk - N % chunk
-        attn = step_attention_seq(
+        out = step_attention_seq(
             jnp.pad(q, ((0, 0), (0, pad), (0, 0))),
             jnp.pad(kv_new, ((0, 0), (0, pad), (0, 0))),
             jnp.pad(cache, ((0, 0), (0, pad)) + ((0, 0),) * 3),
             layer, bias_hist, bias_new, num_heads,
-            interpret=interpret, chunk=chunk, wg=wg)
-        return attn[:, :N]
+            interpret=interpret, chunk=chunk, wg=wg,
+            emit_quant=emit_quant)
+        if emit_quant:
+            return out[0][:, :N], out[1][:, :N]
+        return out[:, :N]
+
+    # QFUSE extra output: cache-layout quantized kv rows for this layer
+    out_shape = jax.ShapeDtypeStruct((B, N, F), q.dtype)
+    out_spec = pl.BlockSpec((1, chunk, F), lambda b, c, l_: (b, c, 0))
+    if emit_quant:
+        out_shape = [out_shape, jax.ShapeDtypeStruct((B, N, RW), jnp.int8)]
+        out_spec = [out_spec,
+                    pl.BlockSpec((1, chunk, RW), lambda b, c, l_: (b, c, 0))]
 
     lt = jnp.asarray(layer, jnp.int32).reshape(1)
     if SEQ_MODE == "stream" and not interpret:
         kernel = functools.partial(_seq_kernel_stream, num_heads=num_heads,
-                                   quant=quant, chunk=chunk, mtile=mtile)
+                                   quant=quant, chunk=chunk, mtile=mtile,
+                                   emit_quant=emit_quant)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, N // chunk),
@@ -600,17 +672,18 @@ def step_attention_seq(q, kv_new, cache, layer, bias_hist, bias_new,
                 pl.BlockSpec((1, chunk, 1, Mc, RW),
                              lambda b, c, l_: (b, c, l_[0], 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, chunk, F), lambda b, c, l_: (b, c, 0)),
+            out_specs=out_spec,
         )
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((B, N, F), q.dtype),
+            out_shape=out_shape,
             grid_spec=grid_spec,
             interpret=interpret,
         )(lt, q, kv_new, bias_hist, bias_new, cache)
 
     kernel = functools.partial(_seq_kernel, num_heads=num_heads, quant=quant,
                                chunk=chunk, wg=wg, mtile=mtile,
+                               emit_quant=emit_quant,
                                pipelined=not interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -622,7 +695,7 @@ def step_attention_seq(q, kv_new, cache, layer, bias_hist, bias_new,
             pl.BlockSpec((1, num_heads), lambda b, c, l_: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, chunk, F), lambda b, c, l_: (b, c, 0)),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, chunk, Mc, RW), cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -630,7 +703,7 @@ def step_attention_seq(q, kv_new, cache, layer, bias_hist, bias_new,
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, N, F), q.dtype),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
     )(lt, q, kv_new, bias_hist, bias_new, cache)

@@ -96,7 +96,8 @@ def _train_bert_teacher(ws: Workspace, tok, queries: Collection,
                         docs: Collection, qrel,
                         run: Mapping[str, Mapping[str, float]],
                         epochs: int, batch_size: int, seed: int,
-                        geometry: Optional[Dict] = None) -> str:
+                        geometry: Optional[Dict] = None,
+                        learning_rate: float = 1e-3) -> str:
     """Train the BertCrossEncoder teacher on bce_examples built from the
     qrel + the BM25 run's candidates (reference
     build_bce_example_for_t5seq_encoder.py draws negatives from the
@@ -119,7 +120,7 @@ def _train_bert_teacher(ws: Workspace, tok, queries: Collection,
     params = model.init({"params": jax.random.PRNGKey(seed)}, ids0,
                         ids0)["params"]
     bz = min(batch_size, len(examples))
-    tcfg = TrainConfig(loss_type="bert_bce", learning_rate=3e-3,
+    tcfg = TrainConfig(loss_type="bert_bce", learning_rate=learning_rate,
                        total_steps=_epochs_steps(len(examples), bz, epochs))
     batches = batches_from_bce(examples, coll, bz, epochs=epochs,
                                drop_last=False)
@@ -127,6 +128,33 @@ def _train_bert_teacher(ws: Workspace, tok, queries: Collection,
                 rng_seed=seed)
     (ckpt / "bert_geometry.json").write_text(json.dumps(geo))
     return str(ckpt)
+
+
+def _teacher_quality(ws: Workspace, teacher_fn, tok, queries: Collection,
+                     docs: Collection, bce_path,
+                     batch_size: int = 64) -> Dict[str, float]:
+    """Measure the trained teacher's pos/neg logit separation on its own
+    trainset — the margin SCALE the student will distill. The reference's
+    MiniLM teacher ships with multi-unit logit margins; a from-scratch
+    teacher left at init produces ~0 margins, turning every MarginMSE
+    phase into 'make all scores equal' (measured: it collapses phase 3).
+    Cached in the workspace next to the checkpoint."""
+    qpath = ws.path("checkpoints/bert_teacher/teacher_quality.json")
+    if qpath.exists():
+        return json.loads(qpath.read_text())
+    from ripor_tpu.evaluation.reranker import rerank_pairs
+    rows = BceExamples(bce_path).rows
+    scored = rerank_pairs(teacher_fn, tok, queries, docs,
+                          [(q, d) for q, d, _ in rows],
+                          batch_size=batch_size, max_length=64)
+    pos = [scored[q][d] for q, d, lab in rows if lab == 1]
+    neg = [scored[q][d] for q, d, lab in rows if lab != 1]
+    q = {"pos_logit_mean": float(np.mean(pos)),
+         "neg_logit_mean": float(np.mean(neg)),
+         "margin": float(np.mean(pos) - np.mean(neg)),
+         "n_pos": len(pos), "n_neg": len(neg)}
+    qpath.write_text(json.dumps(q))
+    return q
 
 
 def _teacher_trainset(ws: Workspace, name: str,
@@ -257,7 +285,11 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                     dr_topk: int = 100,
                     phase3_sym_neg: bool = False,
                     prefix_eval: Sequence[int] = (),
-                    datagen_num_beams: Optional[int] = None
+                    datagen_num_beams: Optional[int] = None,
+                    teacher_lr: float = 1e-3,
+                    min_teacher_margin: float = 0.0,
+                    mm_lr: float = 1e-4, phase3_lr: float = 1e-4,
+                    phase3_prefix_heads: bool = True
                     ) -> Dict[str, Dict[str, float]]:
     """Run phases 1..3 on a corpus slice; returns per-phase retrieval
     metrics {"phase2": {...}, "phase3": {...}} so callers can assert the
@@ -271,7 +303,14 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
     ``phase3_sym_neg`` routes phase-3 examples through the symmetric-
     hard-negative builder (datagen.merge_self_neg_sym_neg) instead of the
     published decay-merge; ``query_to_docid_path`` supplies a real doc2query
-    JSONL ({"docid","query"}) and skips pseudo-query generation."""
+    JSONL ({"docid","query"}) and skips pseudo-query generation.
+
+    ``min_teacher_margin`` > 0 gates on the trained teacher's pos-neg logit
+    separation: every MarginMSE phase distills the teacher's MARGINS, so a
+    teacher whose logits never left init (margin ~0) silently teaches the
+    student to collapse all scores (the reference never hits this — its
+    MiniLM teacher ships pretrained with multi-unit margins). The measured
+    quality is logged either way."""
     ws = Workspace(workspace)
     docs = Collection(docs_dir)
     queries = Collection(queries_dir)
@@ -293,9 +332,20 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
     teacher_ckpt = _train_bert_teacher(ws, tok, queries, docs, qrel, bm25,
                                        epochs=teacher_epochs,
                                        batch_size=batch_size, seed=seed,
-                                       geometry=teacher_geometry)
+                                       geometry=teacher_geometry,
+                                       learning_rate=teacher_lr)
     from ripor_tpu.evaluation.reranker import load_bert_teacher, rerank_pairs
     teacher_fn = load_bert_teacher(teacher_ckpt, tok.vocab_size)
+    tq = _teacher_quality(ws, teacher_fn, tok, queries, docs,
+                          ws.path("bce_examples.train.tsv"))
+    ws.log(f"teacher quality: margin={tq['margin']:.3f} "
+           f"(pos {tq['pos_logit_mean']:.3f} / neg {tq['neg_logit_mean']:.3f})")
+    if tq["margin"] < min_teacher_margin:
+        raise ValueError(
+            f"teacher pos-neg logit margin {tq['margin']:.3f} < required "
+            f"{min_teacher_margin} — distilling from a non-separating "
+            f"teacher collapses the student's margins; raise teacher_epochs"
+            f"/geometry or lower teacher_lr")
 
     def teacher_pair_scores(pairs, query_texts=None):
         return rerank_pairs(teacher_fn, tok,
@@ -387,8 +437,9 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                                 top_k=trainset_topk)
     mm = TeacherScoreExamples(mm_path)
     bz = min(batch_size, len(mm))
+    # lr 1e-4 per the reference (full_train_t5seq_seq2seq_0_1_pipeline.sh:58)
     tcfg = TrainConfig(loss_type="t5seq_aq_encoder_margin_mse",
-                       learning_rate=5e-4,
+                       learning_rate=mm_lr,
                        total_steps=_epochs_steps(len(mm), bz, mm_epochs))
     params = stage_train(
         ws, "phase2_margin_mse", model, params, tcfg,
@@ -467,16 +518,25 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                     merged = attach_lng_knp_scores(merged, plen)
             write_jsonl(str(ds_path), merged)
         examples = TeacherScoreExamples(ds_path, smtid_as_docid=True)
-        if plen >= 8:
+        if plen >= 8 and phase3_prefix_heads:
             loss_type = "t5seq_aq_encoder_lng_knp_margin_mse"
             prefix = examples.prefix_lengths_present()
         else:
-            loss_type = "t5seq_aq_encoder_margin_mse"   # sub-smtid stage
+            # sub-smtid stage, or phase3_prefix_heads=False — the paper's
+            # "w/o prefix-oriented" flat ablation trains the FULL-length
+            # margin only (no rank_4/8/16 heads)
+            loss_type = "t5seq_aq_encoder_margin_mse"
             prefix = ()
         coll = MarginMSECollator(tok, queries, None, max_length=64,
                                  smtid_as_docid=True, prefix_lengths=prefix)
         bz = min(batch_size, len(examples))
-        tcfg = TrainConfig(loss_type=loss_type, learning_rate=5e-4,
+        # lr 1e-4 per the reference (full_lng_knp_train_pipline.sh:31,85) —
+        # MarginMSE first has to pull the student's raw score SCALE
+        # (Σ_i⟨q_i,d_i⟩, O(100)) toward the teacher's logit scale (O(1));
+        # at 5e-4 that transient destroys the seq2seq-built ranking before
+        # the margins can be fit (measured: phase-3 mrr collapse at toy
+        # scale)
+        tcfg = TrainConfig(loss_type=loss_type, learning_rate=phase3_lr,
                            total_steps=_epochs_steps(len(examples), bz,
                                                      phase3_epochs))
         params = stage_train(

@@ -538,6 +538,40 @@ def test_megarow_fused_kvg_bit_identical():
     np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
 
 
+def test_megarow_qfuse_bit_identical():
+    """RIPOR_MR_QFUSE (kernel B quantizes the fresh kv rows to cache layout
+    as an extra output; the scan carries int8 kvg and the reorder inserts
+    it verbatim) must be bit-identical to the default megarow path: same
+    quantizer helpers on the same values, and per-row quantization commutes
+    with the beam gather."""
+    import ripor_tpu.ops.megarow as mr
+    from ripor_tpu.decode.beam import make_beam_search_fn
+    from ripor_tpu.trie.succinct import succinct_tables
+
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=6, K=8, n_docs=40)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+    base_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                                  use_pallas_gather=False, megarow=True,
+                                  cache_segments=3, kv_cache_quant="int4")
+    s0, c0, st0 = base_fn(params, ids, mask, tables)
+    old = mr.QFUSE
+    try:
+        mr.QFUSE = True
+        jax.clear_caches()
+        qf_fn = make_beam_search_fn(cfg, 5, constrained=True,
+                                    dtype=jnp.float32,
+                                    use_pallas_gather=False, megarow=True,
+                                    cache_segments=3,
+                                    kv_cache_quant="int4")
+        s1, c1, st1 = qf_fn(params, ids, mask, tables)
+    finally:
+        mr.QFUSE = old
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
+
+
 def test_quantize_rows_xla_int4_matches_kernel_quantizer():
     """quantize_rows_xla_int4 (megarow pre-gather quantize) must be
     bit-identical to the in-kernel _quantize_rows_int4 per row."""

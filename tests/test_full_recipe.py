@@ -46,7 +46,11 @@ def corpus(tmp_path_factory):
 RECIPE_KW = dict(M=8, K=16, vocab_size=300, phase1_epochs=6,
                  teacher_epochs=12, s2s_epochs=40, mm_epochs=6,
                  phase3_epochs=12, num_beams=8, topk=20, batch_size=8,
-                 seed=0, tokenizer_kind="word")
+                 seed=0, tokenizer_kind="word",
+                 # floors below were calibrated at the old default teacher
+                 # lr; the recipe default moved to 1e-3 (+ the
+                 # min_teacher_margin gate) for real runs
+                 teacher_lr=3e-3)
 
 
 def test_full_recipe_runs_and_holds_floors(corpus):

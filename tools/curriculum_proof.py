@@ -167,22 +167,28 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     base = Path(args.workdir); base.mkdir(parents=True, exist_ok=True)
+    # teacher_epochs: the from-scratch BCE teacher needs enough steps to
+    # develop real logit margins — at 8 epochs it never leaves init
+    # (pos==neg==0.12) and every MarginMSE phase distills "make all scores
+    # equal", collapsing phase 3 (measured, r3). 60 epochs @ lr 1e-3 gives
+    # ~5-unit separation; run_full_recipe's min_teacher_margin gate
+    # enforces it.
     if args.size == "small":
         sizes = dict(n_clusters=12, docs_per_cluster=5, n_train_q=24,
                      n_dev_q=12)
-        run_kw = dict(M=8, K=16, phase1_epochs=4, teacher_epochs=8,
+        run_kw = dict(M=8, K=16, phase1_epochs=4, teacher_epochs=60,
                       s2s_epochs=24, mm_epochs=4, phase3_epochs=6,
                       num_beams=5, topk=10, batch_size=8)
     elif args.size == "medium":
         sizes = dict(n_clusters=60, docs_per_cluster=10, n_train_q=120,
                      n_dev_q=60)
-        run_kw = dict(M=16, K=64, phase1_epochs=4, teacher_epochs=8,
+        run_kw = dict(M=16, K=64, phase1_epochs=4, teacher_epochs=60,
                       s2s_epochs=60, mm_epochs=6, phase3_epochs=6,
                       num_beams=5, topk=10, batch_size=32)
     else:
         sizes = dict(n_clusters=120, docs_per_cluster=20, n_train_q=240,
                      n_dev_q=120)
-        run_kw = dict(M=32, K=256, phase1_epochs=4, teacher_epochs=8,
+        run_kw = dict(M=32, K=256, phase1_epochs=4, teacher_epochs=60,
                       s2s_epochs=60, mm_epochs=6, phase3_epochs=6,
                       num_beams=5, topk=10, batch_size=32)
 
@@ -197,7 +203,8 @@ def main():
     common = dict(docs_dir=docs_dir, queries_dir=tq_dir, qrel_path=tqrel,
                   vocab_size=8 * sizes["n_clusters"] + n_docs + 50,
                   tokenizer_kind="word", seed=args.seed,
-                  pseudo_queries_per_doc=3, **run_kw)
+                  pseudo_queries_per_doc=3, min_teacher_margin=1.0,
+                  **run_kw)
 
     t0 = time.time()
     ws_cur = str(base / "ws_curriculum")
@@ -219,7 +226,7 @@ def main():
         flat_kw = dict(common)
         flat_kw["phase3_epochs"] = run_kw["phase3_epochs"] * 4
         m_flat = run_full_recipe(workspace=ws_flat, curriculum=(M,),
-                                 **flat_kw)
+                                 phase3_prefix_heads=False, **flat_kw)
         results["train_metrics_flat"] = m_flat
         results["dev"]["phase3_flat"] = dev_eval(
             ws_flat, "final", dq_dir, dqrel,
