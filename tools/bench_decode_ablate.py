@@ -216,7 +216,12 @@ def main():
 
     def fake_mr_attn(q, kv_new, cache, layer, bias_hist, bias_new,
                      num_heads, **kw):
-        return q  # skip kernel B entirely
+        # skip kernel B entirely; under QFUSE the call site expects the
+        # extra quantized-row output (zeros keep shapes/dtypes identical)
+        if kw.get("emit_quant"):
+            B, N = q.shape[:2]
+            return q, jnpk.zeros((B, N, cache.shape[-1]), jnpk.int8)
+        return q
 
     def stub_seq_math(qb, kvnew, bias_hist, bias_new, rows,
                       num_heads, quant=None):
@@ -242,7 +247,7 @@ def main():
     def fake_bgr(cache, src, interpret=None):
         return cache  # skip the kvg permute (wrong results, same shapes)
 
-    def fake_finish(self, x, attn_flat, enc_k, enc_v, enc_bias):
+    def fake_finish(self, x, attn_flat, enc_k, enc_v, enc_bias, ffn_q=None):
         return x + attn_flat.astype(x.dtype) * 1e-6  # skip cross-attn + FFN
 
     def no_writeback_sar(q, kv_new, kvg, cache_src, cache_dst, src, layer,
