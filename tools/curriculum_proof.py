@@ -165,6 +165,12 @@ def main():
     import jax
     if os.environ.get("RIPOR_PROOF_TPU", "0") != "1":
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # compiles through the axon relay are 2-10 min each; the recipe has
+        # ~a dozen distinct jit shapes — the persistent cache is essential
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     base = Path(args.workdir); base.mkdir(parents=True, exist_ok=True)
     # teacher_epochs: the from-scratch BCE teacher needs enough steps to
