@@ -29,6 +29,14 @@ def cmd_evaluate(args):
     print(json.dumps(out, indent=2))
 
 
+def load_tokenizer(path):
+    """Content-dispatching tokenizer load (WordTokenizer vs Unigram) —
+    workspaces built with tokenizer_kind="word" must work in every CLI
+    command, not just the recipe driver."""
+    from ripor_tpu.pipeline.recipe import load_tokenizer as _lt
+    return _lt(path)
+
+
 def _load_workspace_model(ws_dir: str, phase: str = "final"):
     import jax.numpy as jnp
     from ripor_tpu.models import RiporConfig, RiporModel
@@ -51,11 +59,11 @@ def cmd_retrieve(args):
     strided query slice and writes run_{rank}.json for ``retrieve-merge``
     (reference DDP decode, evaluate.py:457-487)."""
     import jax.numpy as jnp
-    from ripor_tpu.data import Collection, UnigramTokenizer, load_docid_to_smtid
+    from ripor_tpu.data import Collection, load_docid_to_smtid
     from ripor_tpu.pipeline.recipe import Workspace, stage_build_trie, stage_retrieve
 
     ws, cfg, model, params = _load_workspace_model(args.workspace, args.phase)
-    tok = UnigramTokenizer.load(ws.path("tokenizer.json"))
+    tok = load_tokenizer(ws.path("tokenizer.json"))
     docids, codes = load_docid_to_smtid(ws.path("docid_to_smtid.json"))
     trie = stage_build_trie(ws, codes, cfg.K)
     queries = Collection(args.queries)
@@ -66,7 +74,10 @@ def cmd_retrieve(args):
         run_name = f"{stem}_{args.rank}{dot}{ext}"
     run = stage_retrieve(ws, cfg, params, tok, queries, trie, docids,
                          num_beams=args.beam, topk=args.topk,
-                         run_name=run_name)
+                         run_name=run_name,
+                         # the quant preflight needs the checkpoint dir to
+                         # find a recorded ffn_int8 validation
+                         ckpt_dir=str(ws.path(f"checkpoints/{args.phase}")))
     print(f"wrote {ws.path(run_name)} ({len(run)} queries)")
 
 
@@ -120,13 +131,13 @@ def cmd_index(args):
     """Encode the corpus into chunked embedding shards (reference
     evaluate.py task=mmap -> DenseIndexing.store_embs; one host shard per
     --rank of --nranks)."""
-    from ripor_tpu.data import Collection, UnigramTokenizer, tokenize_docs
+    from ripor_tpu.data import Collection, tokenize_docs
     from ripor_tpu.data.emb_store import ShardWriter, host_shard_slice, write_plan
     from ripor_tpu.evaluation.retriever import encode_corpus
     from ripor_tpu.models.ripor import RiporModel
 
     ws, cfg, model, params = _load_workspace_model(args.workspace, args.phase)
-    tok = UnigramTokenizer.load(ws.path("tokenizer.json"))
+    tok = load_tokenizer(ws.path("tokenizer.json"))
     docs = Collection(args.docs)
     sl = host_shard_slice(len(docs), args.rank, args.nranks)
     writer = ShardWriter(ws.path("embs"), rank=args.rank,
@@ -207,13 +218,13 @@ def cmd_dense_retrieve(args):
     """Dense retrieval over the corpus: flat (exact, sharded einsum top-k;
     reference task=retrieve) or --ann hnsw (reference old HNSW path)."""
     import jax.numpy as jnp
-    from ripor_tpu.data import Collection, UnigramTokenizer, tokenize_queries
+    from ripor_tpu.data import Collection, tokenize_queries
     from ripor_tpu.data.emb_store import open_mmap
     from ripor_tpu.evaluation.retriever import (dense_topk, encode_corpus,
                                                 retrieve_to_run)
 
     ws, cfg, model, params = _load_workspace_model(args.workspace, args.phase)
-    tok = UnigramTokenizer.load(ws.path("tokenizer.json"))
+    tok = load_tokenizer(ws.path("tokenizer.json"))
     queries = Collection(args.queries)
     ids, mask = tokenize_queries(tok, [queries[q] for q in queries.ids],
                                  args.max_length)
@@ -245,10 +256,10 @@ def cmd_dense_retrieve(args):
 def cmd_rerank(args):
     """Cross-encoder teacher scoring of a run file -> teacher trainset JSONL
     (reference rerank.py task=rerank_for_create_trainset{,_2})."""
-    from ripor_tpu.data import Collection, UnigramTokenizer
+    from ripor_tpu.data import Collection
     from ripor_tpu.evaluation.reranker import load_bert_teacher, rerank_pairs
 
-    tok = UnigramTokenizer.load(args.tokenizer)
+    tok = load_tokenizer(args.tokenizer)
     queries = Collection(args.queries)
     docs = Collection(args.docs)
     with open(args.run) as f:
@@ -284,11 +295,11 @@ def cmd_rerank_task(args):
     """One sharded scoring pass of a reference rerank.py task (writes the
     per-rank JSON shard; run ``rerank-task-merge`` after all ranks finish).
     Task names match /root/reference/t5_pretrainer/rerank.py:655-691."""
-    from ripor_tpu.data import Collection, UnigramTokenizer, load_qrel
+    from ripor_tpu.data import Collection, load_qrel
     from ripor_tpu.evaluation import rerank_tasks as rt
     from ripor_tpu.evaluation.reranker import load_bert_teacher
 
-    tok = UnigramTokenizer.load(args.tokenizer)
+    tok = load_tokenizer(args.tokenizer)
     queries = Collection(args.queries) if args.queries else None
     docs = Collection(args.docs) if args.docs else None
     kw = dict(rank=args.rank, nranks=args.nranks,
@@ -404,13 +415,13 @@ def cmd_serve(args):
     """Online retrieval service over a trained workspace: microbatching
     engine + HTTP endpoint (ripor_tpu/serve/; the reference has no serving
     path — its offline analogue is evaluate.py:457-526)."""
-    from ripor_tpu.data import UnigramTokenizer, load_docid_to_smtid
+    from ripor_tpu.data import load_docid_to_smtid
     from ripor_tpu.pipeline.recipe import stage_build_trie
     from ripor_tpu.serve import (DenseEngine, RetrievalEngine, ServeConfig,
                                  serve_http)
 
     ws, cfg, model, params = _load_workspace_model(args.workspace, args.phase)
-    tok = UnigramTokenizer.load(ws.path("tokenizer.json"))
+    tok = load_tokenizer(ws.path("tokenizer.json"))
     scfg = ServeConfig(num_beams=args.beam, topk=args.topk,
                        batch_sizes=tuple(args.batch_sizes),
                        kv_cache_quant=args.kv_quant or None,
@@ -463,14 +474,14 @@ def cmd_datagen(args):
     checkpoint (the reference's MiniLM role); the default ``--teacher self``
     scores pairs with the phase model's own rerank_score (self-distillation).
     Either way every doc carries a true teacher score — no 0.0 defaults."""
-    from ripor_tpu.data import Collection, UnigramTokenizer, load_docid_to_smtid
+    from ripor_tpu.data import Collection, load_docid_to_smtid
     from ripor_tpu.evaluation.reranker import (
         load_bert_teacher, rerank_pairs, self_rerank_pair_scores)
     from ripor_tpu.pipeline.flywheel import (
         datagen_round, read_jsonl, write_jsonl)
 
     ws, cfg, model, params = _load_workspace_model(args.workspace, args.phase)
-    tok = UnigramTokenizer.load(ws.path("tokenizer.json"))
+    tok = load_tokenizer(ws.path("tokenizer.json"))
     docids, codes = load_docid_to_smtid(ws.path("docid_to_smtid.json"))
     queries = Collection(args.queries)
     teacher_examples = read_jsonl(args.teacher_trainset)

@@ -97,7 +97,8 @@ def ensure_quant_validated(kv_cache_quant: Optional[str], ffn_int8: bool,
         return
     if entry is not None:
         why = (f"checkpoint validation for {combo!r} exists but was NOT "
-               f"accepted ({entry['order_identical']}/{entry['n_queries']} "
+               f"accepted ({entry.get('order_identical', '?')}/"
+               f"{entry.get('n_queries', '?')} "
                f"order-identical vs the exact path)")
     elif ckpt_dir is None:
         why = (f"no checkpoint directory was provided, so the {combo!r} "

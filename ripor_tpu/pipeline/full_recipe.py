@@ -399,6 +399,10 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                            teacher_pair_scores, qid_to_reldocid_to_score,
                            top_k=trainset_topk)
     params = _pretrain_stage("phase1_pretrain_1", t1, params)
+    # snapshot: the phase-2 MM candidate run below must score queries with
+    # THIS model (the one that encoded the corpus), not the post-codebook
+    # post-seq2seq params — the reference reuses the stage-1 run verbatim
+    params_stage1 = params
 
     # ---- DocID build ------------------------------------------------------
     embs = stage_encode_corpus(ws, model, params, docs, tok, max_length=64,
@@ -428,9 +432,9 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
     # MarginMSE on the stage-1 model's retrieval, teacher-rescored (the
     # reference reuses t5_docid_gen_encoder_1's qrel_added run for
     # seq2seq_1, full_train_t5seq_seq2seq_0_1_pipeline.sh:55)
-    run1 = _dense_run(ws, "dense_run_phase1_1.json", embs, model, params,
-                      tok, queries, docids, topk=retrieve_topk,
-                      batch_size=batch_size)
+    run1 = _dense_run(ws, "dense_run_phase1_1.json", embs, model,
+                      params_stage1, tok, queries, docids,
+                      topk=retrieve_topk, batch_size=batch_size)
     mm_path = _teacher_trainset(ws, "phase2_mm_trainset.jsonl", run1,
                                 teacher_pair_scores,
                                 qid_to_reldocid_to_score,

@@ -60,6 +60,8 @@ def _make_handler(engine: RetrievalEngine):
                 try:
                     ms = min(float(q.get("ms", ["1000"])[0]), 30_000)
                 except ValueError:
+                    ms = float("nan")
+                if not ms > 0:        # rejects <=0 AND NaN
                     self._json(400, {"error": "bad ms parameter"})
                     return
                 out = engine.scfg.profile_dir
@@ -67,11 +69,19 @@ def _make_handler(engine: RetrievalEngine):
                 if not _PROFILE_LOCK.acquire(blocking=False):
                     self._json(409, {"error": "a trace is already running"})
                     return
+                started = False
                 try:
                     jax.profiler.start_trace(out)
+                    started = True
                     _t.sleep(ms / 1e3)
                     jax.profiler.stop_trace()
+                    started = False
                 except Exception as e:
+                    if started:     # never leak a running trace: a wedged
+                        try:        # profiler poisons every later /profile
+                            jax.profiler.stop_trace()
+                        except Exception:
+                            pass
                     self._json(500, {"error": f"trace failed: {e}"})
                     return
                 finally:

@@ -550,12 +550,17 @@ def test_megarow_qfuse_bit_identical():
 
     cfg, model, params, ids, mask, doc_codes, trie = setup(M=6, K=8, n_docs=40)
     tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
-    base_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
-                                  use_pallas_gather=False, megarow=True,
-                                  cache_segments=3, kv_cache_quant="int4")
-    s0, c0, st0 = base_fn(params, ids, mask, tables)
     old = mr.QFUSE
     try:
+        # QFUSE defaults ON for quantized caches — the baseline arm must
+        # force it OFF or this test compares QFUSE against itself
+        mr.QFUSE = False
+        jax.clear_caches()
+        base_fn = make_beam_search_fn(cfg, 5, constrained=True,
+                                      dtype=jnp.float32,
+                                      use_pallas_gather=False, megarow=True,
+                                      cache_segments=3, kv_cache_quant="int4")
+        s0, c0, st0 = base_fn(params, ids, mask, tables)
         mr.QFUSE = True
         jax.clear_caches()
         qf_fn = make_beam_search_fn(cfg, 5, constrained=True,
