@@ -192,11 +192,22 @@ def main():
                       s2s_epochs=60, mm_epochs=6, phase3_epochs=6,
                       num_beams=5, topk=10, batch_size=32)
     else:
-        sizes = dict(n_clusters=120, docs_per_cluster=20, n_train_q=240,
+        # 960 train queries (40% doc coverage, ~8/cluster): the r3 run at
+        # 240 (10%, ~2/cluster) measured EVERY phase-3 variant regressing
+        # dev mrr (sweep artifacts /tmp/sweep*.log, tools/phase3_sweep.py)
+        # — rank training on 240 queries can't generalize cluster-level
+        # prefix calibration. Beam-headroom at 240: recall@10 rose
+        # 0.38->0.53 from beam 5->20, i.e. ~15% of dev queries die to
+        # early pruning — the exact failure the curriculum trains away.
+        # phase3_epochs 2 (not 6): per-stage steps scale with queries, so
+        # 2 epochs is already ~60 updates/stage over 4x distinct data;
+        # 6 epochs at 240q measured as catastrophic repetition.
+        sizes = dict(n_clusters=120, docs_per_cluster=20, n_train_q=960,
                      n_dev_q=120)
-        run_kw = dict(M=32, K=256, phase1_epochs=4, teacher_epochs=60,
-                      s2s_epochs=60, mm_epochs=6, phase3_epochs=6,
-                      num_beams=5, topk=10, batch_size=32)
+        run_kw = dict(M=32, K=256, phase1_epochs=4, teacher_epochs=20,
+                      s2s_epochs=60, mm_epochs=6, phase3_epochs=2,
+                      num_beams=5, topk=10, batch_size=32,
+                      datagen_num_beams=10)
 
     docs_dir, tq_dir, tqrel, dq_dir, dqrel = build_corpus(
         base, seed=args.seed, **sizes)
