@@ -154,6 +154,11 @@ def main():
                  f"_{n_docs}docs_1chip" + (f"_{quant}kv" if quant else "")
                  + ("_int8ffn" if ffn_int8 else "")),
         "vs_baseline": round(qps / baseline_qps, 3),
+        # the reference publishes no throughput (README.md:23); 4 qps is an
+        # inferred 4xA100 figure (BASELINE.md) — flag it so BENCH_r*.json
+        # is self-describing
+        "baseline_is_estimate": True,
+        "baseline_basis": "inferred 4 qps on 4xA100 (BASELINE.md; reference publishes no throughput)",
     }))
 
 

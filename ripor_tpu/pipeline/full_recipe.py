@@ -97,7 +97,8 @@ def _train_bert_teacher(ws: Workspace, tok, queries: Collection,
                         run: Mapping[str, Mapping[str, float]],
                         epochs: int, batch_size: int, seed: int,
                         geometry: Optional[Dict] = None,
-                        learning_rate: float = 1e-3) -> str:
+                        learning_rate: float = 1e-3,
+                        neg_sample: int = 8) -> str:
     """Train the BertCrossEncoder teacher on bce_examples built from the
     qrel + the BM25 run's candidates (reference
     build_bce_example_for_t5seq_encoder.py draws negatives from the
@@ -112,7 +113,7 @@ def _train_bert_teacher(ws: Workspace, tok, queries: Collection,
     bce_path = ws.path("bce_examples.train.tsv")
     if not bce_path.exists():
         save_bce_examples(bce_path, build_bce_examples(
-            qrel, run, neg_sample=8, seed=seed))
+            qrel, run, neg_sample=neg_sample, seed=seed))
     examples = BceExamples(bce_path)
     coll = BertBceCollator(tok, queries, docs, max_length=64)
     model = BertCrossEncoder(vocab_size=tok.vocab_size, **geo)
@@ -180,6 +181,28 @@ def _teacher_trainset(ws: Workspace, name: str,
     rows = [r for r in rows if len(r["docids"]) >= 2]
     write_jsonl(str(path), rows)
     return str(path)
+
+
+def _trainset_mrr(path: str, qrel: Mapping[str, Mapping[str, int]],
+                  k: int = 10) -> float:
+    """MRR@k of the qrel positive within each teacher-rescored trainset
+    row, ranking by the teacher's scores — the TEACHER's own candidate-
+    ranking quality, i.e. the quality of the distillation target itself.
+    Every MarginMSE phase pulls the student toward this ranking, so it
+    must EXCEED the student's (the reference's premise: its MiniLM teacher
+    outranks the phase-2 student on MS MARCO; measured r4: a weaker-than-
+    student teacher collapses phase 3, tools/mnt4_dynamics.py)."""
+    from ripor_tpu.pipeline.flywheel import read_jsonl
+    rr = []
+    for ex in read_jsonl(path):
+        rel = {d for d, r in qrel.get(str(ex["qid"]), {}).items() if r > 0}
+        if not rel:
+            continue
+        order = np.argsort(-np.asarray(ex["scores"]))
+        ranked = [ex["docids"][i] for i in order[:k]]
+        r = next((i + 1 for i, d in enumerate(ranked) if d in rel), None)
+        rr.append(1.0 / r if r else 0.0)
+    return float(np.mean(rr)) if rr else 0.0
 
 
 def _dense_run(ws: Workspace, name: str, embs: np.ndarray,
@@ -289,7 +312,10 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                     teacher_lr: float = 1e-3,
                     min_teacher_margin: float = 0.0,
                     mm_lr: float = 1e-4, phase3_lr: float = 1e-4,
-                    phase3_prefix_heads: bool = True
+                    phase3_prefix_heads: bool = True,
+                    calibrate_teacher_scale: bool = False,
+                    teacher_neg_sample: int = 8,
+                    min_teacher_mrr: float = 0.0
                     ) -> Dict[str, Dict[str, float]]:
     """Run phases 1..3 on a corpus slice; returns per-phase retrieval
     metrics {"phase2": {...}, "phase3": {...}} so callers can assert the
@@ -310,7 +336,28 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
     teacher whose logits never left init (margin ~0) silently teaches the
     student to collapse all scores (the reference never hits this — its
     MiniLM teacher ships pretrained with multi-unit margins). The measured
-    quality is logged either way."""
+    quality is logged either way.
+
+    ``calibrate_teacher_scale`` rescales the teacher's scores to the
+    STUDENT's measured margin scale (one least-squares scalar per score
+    column, train/calibrate.py) before every MarginMSE stage that refines
+    an already-trained scorer (phase-2 MM and each phase-3 stage — NOT
+    phase 1, whose student starts at init where the probe is degenerate).
+    At the reference's scale the mismatch is absorbed by 250k phase-2 MM
+    steps (full_train_t5seq_seq2seq_0_1_pipeline.sh:55-72); at slice scale
+    the uncalibrated MSE's rescaling transient destroys what seq2seq built
+    (measured r3/r4: dev MRR 0.267 -> 0.130 through phase-2 MM alone).
+
+    ``min_teacher_mrr`` > 0 gates on the teacher's CANDIDATE-RANKING
+    quality (MRR@10 of the qrel positive in the teacher-rescored BM25
+    trainset, _trainset_mrr) — the distillation-target quality itself.
+    The r4 collapse microscope (tools/mnt4_dynamics.py) showed margin
+    alone is insufficient: a teacher with a healthy 10-unit margin but
+    candidate MRR 0.76 < the student's 0.99 train fit pulls every
+    MarginMSE phase DOWNWARD. ``teacher_neg_sample`` controls how many
+    BM25 hard negatives each qrel positive is contrasted with in the
+    teacher's BCE trainset (reference
+    build_bce_example_for_t5seq_encoder.py:57-68)."""
     ws = Workspace(workspace)
     docs = Collection(docs_dir)
     queries = Collection(queries_dir)
@@ -333,7 +380,8 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                                        epochs=teacher_epochs,
                                        batch_size=batch_size, seed=seed,
                                        geometry=teacher_geometry,
-                                       learning_rate=teacher_lr)
+                                       learning_rate=teacher_lr,
+                                       neg_sample=teacher_neg_sample)
     from ripor_tpu.evaluation.reranker import load_bert_teacher, rerank_pairs
     teacher_fn = load_bert_teacher(teacher_ckpt, tok.vocab_size)
     tq = _teacher_quality(ws, teacher_fn, tok, queries, docs,
@@ -385,6 +433,15 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
     t0 = _teacher_trainset(ws, "pretrain_trainset_0.jsonl", bm25,
                            teacher_pair_scores, qid_to_reldocid_to_score,
                            top_k=trainset_topk)
+    tmrr = _trainset_mrr(t0, qrel)
+    ws.log(f"teacher candidate-ranking MRR@10 (rescored BM25): {tmrr:.4f}")
+    if tmrr < min_teacher_mrr:
+        raise ValueError(
+            f"teacher candidate-ranking MRR@10 {tmrr:.4f} < required "
+            f"{min_teacher_mrr} — the distillation target ranks worse than "
+            f"the gate; every MarginMSE phase would pull the student toward "
+            f"a weaker ranking (measured collapse, tools/mnt4_dynamics.py). "
+            f"Raise teacher geometry/epochs/neg_sample")
     params = _pretrain_stage("phase1_pretrain", t0, params)
 
     # stage 1: SELF-MINED candidates — dense retrieval by the stage-0
@@ -439,6 +496,21 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                                 teacher_pair_scores,
                                 qid_to_reldocid_to_score,
                                 top_k=trainset_topk)
+    if calibrate_teacher_scale:
+        from ripor_tpu.train.calibrate import calibrate_trainset
+        cal = ws.path("phase2_mm_trainset.cal.jsonl")
+        if not cal.exists():
+            stats = calibrate_trainset(
+                str(mm_path), str(cal), model, params, tok, queries,
+                docid_to_codes=d2c, smtid_as_docid=False,
+                alphas_out=str(ws.path("calibration_phase2_mm.json")),
+                seed=seed)
+            ws.log(f"phase2 MM scale calibration: alpha={stats['alpha']:.3f}"
+                   f" (student margin {stats['student_margin_mean']:.1f}"
+                   f"±{stats['student_margin_std']:.1f}, teacher "
+                   f"{stats['teacher_margin_mean']:.1f}"
+                   f"±{stats['teacher_margin_std']:.1f})")
+        mm_path = str(cal)
     mm = TeacherScoreExamples(mm_path)
     bz = min(batch_size, len(mm))
     # lr 1e-4 per the reference (full_train_t5seq_seq2seq_0_1_pipeline.sh:58)
@@ -521,7 +593,24 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                 if plen > 4:
                     merged = attach_lng_knp_scores(merged, plen)
             write_jsonl(str(ds_path), merged)
-        examples = TeacherScoreExamples(ds_path, smtid_as_docid=True)
+        train_path = ds_path
+        if calibrate_teacher_scale:
+            from ripor_tpu.train.calibrate import calibrate_trainset
+            cal = ws.path(
+                f"lng_knp_qid_smtids_scores_{plen}.train.cal.json")
+            if not cal.exists():
+                plens = (tuple(p for p in (4, 8, 16) if p < plen)
+                         if (phase3_prefix_heads and plen >= 8) else ())
+                stats = calibrate_trainset(
+                    str(ds_path), str(cal), model, params, tok, queries,
+                    smtid_as_docid=True, prefix_lengths=plens,
+                    alphas_out=str(ws.path(f"calibration_phase3_{plen}.json")),
+                    seed=seed + plen)
+                alphas = {k: round(v, 3) for k, v in stats.items()
+                          if k.startswith("alpha")}
+                ws.log(f"phase3 prefix-{plen} scale calibration: {alphas}")
+            train_path = cal
+        examples = TeacherScoreExamples(train_path, smtid_as_docid=True)
         if plen >= 8 and phase3_prefix_heads:
             loss_type = "t5seq_aq_encoder_lng_knp_margin_mse"
             prefix = examples.prefix_lengths_present()

@@ -189,3 +189,106 @@ def test_http_roundtrip(tiny_engine):
     finally:
         server.shutdown()
         eng.stop()
+
+
+# ---- pipelined batcher overlap semantics (VERDICT r3 #3) -------------------
+# A fake engine with recorded dispatch/finish timestamps pins the threaded
+# batcher's contract: dispatch-ahead (batch N+1 dispatches before batch N
+# finishes), bounded in-flight depth (backpressure), dispatch-order
+# completion, and clean restart after stop().
+
+import time as _time
+
+from ripor_tpu.serve.engine import BaseEngine
+
+
+class _FakeEngine(BaseEngine):
+    """_dispatch returns instantly (async-dispatch contract); _finish
+    blocks for ``device_s`` (the device fence), so pipelining shows up as
+    dispatch(N+1) happening while finish(N) is still blocked."""
+
+    def __init__(self, device_s=0.1, sizes=(1, 2, 4), delay_ms=2.0):
+        self.events = []                    # (kind, batch_id, t_monotonic)
+        self._device_s = device_s
+        self._next = 0
+        self._ev_lock = threading.Lock()
+        super().__init__(ServeConfig(batch_sizes=sizes,
+                                     max_delay_ms=delay_ms), warm=False)
+
+    def _dispatch(self, texts):
+        with self._ev_lock:
+            bid = self._next
+            self._next += 1
+            self.events.append(("dispatch", bid, _time.monotonic()))
+        return bid, list(texts)
+
+    def _finish(self, handle, n):
+        bid, texts = handle
+        _time.sleep(self._device_s)
+        with self._ev_lock:
+            self.events.append(("finish", bid, _time.monotonic()))
+        return [f"b{bid}_r{i}" for i in range(len(texts))]
+
+
+def test_batcher_overlaps_dispatch_with_device():
+    eng = _FakeEngine(device_s=0.15, sizes=(1,))
+    eng.start()
+    try:
+        futs = [eng.submit(f"q{i}") for i in range(6)]
+        [f.result(timeout=30) for f in futs]
+    finally:
+        eng.stop()
+    disp = {b: t for k, b, t in eng.events if k == "dispatch"}
+    fin = {b: t for k, b, t in eng.events if k == "finish"}
+    # pipelining: some batch N+1 dispatched BEFORE batch N finished
+    overlapped = [b for b in disp if b + 1 in disp and b in fin
+                  and disp[b + 1] < fin[b]]
+    assert overlapped, f"no dispatch-ahead observed: {eng.events}"
+
+
+def test_batcher_backpressure_bounds_inflight():
+    # 20 instant 1-query batches against a slow device: without the
+    # bounded in-flight queue the batcher would dispatch all 20 ahead.
+    # The structural bound is maxsize(2) + 1 popped by the completer + 1
+    # dispatched-but-blocked-on-put = 4.
+    eng = _FakeEngine(device_s=0.05, sizes=(1,))
+    eng.start()
+    try:
+        futs = [eng.submit(f"q{i}") for i in range(20)]
+        [f.result(timeout=60) for f in futs]
+    finally:
+        eng.stop()
+    events = sorted(eng.events, key=lambda e: e[2])
+    depth = max_depth = 0
+    for kind, _, _ in events:
+        depth += 1 if kind == "dispatch" else -1
+        max_depth = max(max_depth, depth)
+    assert max_depth <= 4, f"dispatch-ahead depth {max_depth} > 4"
+    assert max_depth >= 2, "no overlap at all — pipeline is serialized"
+
+
+def test_batcher_completes_in_dispatch_order():
+    eng = _FakeEngine(device_s=0.02, sizes=(1,))
+    eng.start()
+    try:
+        futs = [eng.submit(f"q{i}") for i in range(10)]
+        res = [f.result(timeout=30) for f in futs]
+    finally:
+        eng.stop()
+    fin_order = [b for k, b, _ in sorted(eng.events, key=lambda e: e[2])
+                 if k == "finish"]
+    assert fin_order == sorted(fin_order), f"out-of-order: {fin_order}"
+    # each query's result came from a batch dispatched in submit order
+    assert [int(r.split("_")[0][1:]) for r in res] == sorted(
+        int(r.split("_")[0][1:]) for r in res)
+
+
+def test_batcher_restarts_after_stop():
+    eng = _FakeEngine(device_s=0.01)
+    eng.start()
+    assert eng.submit("a").result(timeout=10) is not None
+    eng.stop()
+    eng.stop()      # double stop may leave a stale sentinel in _inflight
+    eng.start()     # must not inherit it (fresh in-flight queue)
+    assert eng.submit("b").result(timeout=10)[0].startswith("b")
+    eng.stop()

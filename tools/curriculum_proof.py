@@ -79,10 +79,15 @@ def build_corpus(base: Path, n_clusters: int, docs_per_cluster: int,
 
 def dev_eval(ws_dir: str, ckpt_name: str, dev_queries_dir: str,
              dev_qrel_path: str, num_beams: int, topk: int,
-             prefix_eval=(4, 8)):
+             prefix_eval=(4, 8), tag: str = None):
     """Evaluate one checkpoint on HELD-OUT queries: full-length + prefix-
     truncated constrained retrieval (sub-smtid; reference
-    t5seq_aq_retrieve_docids_use_sub_smtid)."""
+    t5seq_aq_retrieve_docids_use_sub_smtid).
+
+    ``tag`` names the run/perf artifacts (default: ckpt_name). Pass a
+    distinct tag when evaluating the SAME checkpoint on a second query set
+    (e.g. train-queries diagnostics) — otherwise the second call silently
+    overwrites the first's cached run/perf files (r3 postmortem footgun)."""
     import jax.numpy as jnp
 
     from ripor_tpu.data import Collection, load_docid_to_smtid, load_qrel
@@ -96,6 +101,7 @@ def dev_eval(ws_dir: str, ckpt_name: str, dev_queries_dir: str,
     import jax
     import numpy as np
 
+    tag = tag or ckpt_name
     ws = Workspace(ws_dir)
     tok = load_tokenizer(ws.path("tokenizer.json"))
     ckpt = ws.path(f"checkpoints/{ckpt_name}")
@@ -109,17 +115,17 @@ def dev_eval(ws_dir: str, ckpt_name: str, dev_queries_dir: str,
     out = {}
     run = stage_retrieve(ws, cfg, params, tok, queries, trie, docids,
                          num_beams=num_beams, topk=topk,
-                         run_name=f"dev_run_{ckpt_name}.json")
+                         run_name=f"dev_run_{tag}.json")
     out["full"] = stage_evaluate(ws, run, qrel,
-                                 perf_name=f"dev_perf_{ckpt_name}.json")
+                                 perf_name=f"dev_perf_{tag}.json")
     for plen in prefix_eval:
         ptrie = stage_build_prefix_trie(ws, np.asarray(codes), cfg.K, plen)
         prun = stage_retrieve(ws, cfg, params, tok, queries, ptrie, docids,
                               num_beams=num_beams, topk=topk,
-                              run_name=f"dev_run_{ckpt_name}_p{plen}.json",
+                              run_name=f"dev_run_{tag}_p{plen}.json",
                               max_steps=plen)
         out[f"prefix{plen}"] = stage_evaluate(
-            ws, prun, qrel, perf_name=f"dev_perf_{ckpt_name}_p{plen}.json")
+            ws, prun, qrel, perf_name=f"dev_perf_{tag}_p{plen}.json")
     return out
 
 
@@ -217,10 +223,16 @@ def main():
 
     from ripor_tpu.pipeline.full_recipe import run_full_recipe
 
+    # calibrate_teacher_scale: the mechanism fix for the r3 FAIL — at slice
+    # scale every uncalibrated MarginMSE stage spends its budget violently
+    # rescaling the student's raw score scale to the teacher's logit scale
+    # and destroys the ranking it should refine (measured: phase-2 MM alone
+    # dropped dev MRR 0.267 -> 0.130; see train/calibrate.py)
     common = dict(docs_dir=docs_dir, queries_dir=tq_dir, qrel_path=tqrel,
                   vocab_size=8 * sizes["n_clusters"] + n_docs + 50,
                   tokenizer_kind="word", seed=args.seed,
                   pseudo_queries_per_doc=3, min_teacher_margin=1.0,
+                  calibrate_teacher_scale=True,
                   **run_kw)
 
     t0 = time.time()
@@ -235,6 +247,22 @@ def main():
         "phase3_curriculum": dev_eval(ws_cur, "final", dq_dir, dqrel,
                                       run_kw["num_beams"], run_kw["topk"]),
     }
+    # per-stage dev table (VERDICT r3 #4): localize any regression to the
+    # stage that caused it in ONE run instead of a sweep campaign
+    M = run_kw["M"]
+    stages = ["phase2_seq2seq", "phase2_margin_mse"] + [
+        f"phase3_mnt_{p}" for p in sorted({q for q in (4, 8, 16, 32)
+                                           if q < M} | {M})]
+    results["dev"]["per_stage"] = {}
+    for st in stages:
+        if not (Path(ws_cur) / "checkpoints" / st / "params").exists():
+            continue
+        results["dev"]["per_stage"][st] = dev_eval(
+            ws_cur, st, dq_dir, dqrel, run_kw["num_beams"], run_kw["topk"],
+            prefix_eval=())["full"]
+        print(f"   per-stage {st}: "
+              f"mrr {results['dev']['per_stage'][st]['mrr_10']:.4f}",
+              flush=True)
 
     if not args.skip_flat:
         ws_flat = str(base / "ws_flat")

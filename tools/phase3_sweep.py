@@ -217,8 +217,11 @@ def main():
         dt = time.time() - t0
         dev = dev_eval(str(base / args.ws), f"sweep_{name}", dq_dir, dqrel,
                        args.beams, args.topk, prefix_eval=())
+        # distinct tag: same ckpt, different query set — without it the
+        # train eval silently reuses the cached dev run file (r3 footgun)
         trn = dev_eval(str(base / args.ws), f"sweep_{name}", tq_dir, tqrel,
-                       args.beams, args.topk, prefix_eval=())
+                       args.beams, args.topk, prefix_eval=(),
+                       tag=f"sweep_{name}_train")
         results[name] = {"dev": dev, "train": trn,
                          "probe": margin_probe(p), "train_s": round(dt, 1)}
         print(f"   {name}: dev mrr {dev['full']['mrr_10']:.4f} "
@@ -239,7 +242,8 @@ def main():
         dev = dev_eval(str(base / args.ws), ck, dq_dir, dqrel,
                        args.beams, args.topk, prefix_eval=())
         trn = dev_eval(str(base / args.ws), ck, tq_dir, tqrel,
-                       args.beams, args.topk, prefix_eval=())
+                       args.beams, args.topk, prefix_eval=(),
+                       tag=f"{ck}_train")
         results[tag] = {"dev": dev, "train": trn}
         print(f"   {tag}: dev mrr {dev['full']['mrr_10']:.4f} "
               f"train mrr {trn['full']['mrr_10']:.4f}", flush=True)
