@@ -98,19 +98,28 @@ def _train_bert_teacher(ws: Workspace, tok, queries: Collection,
                         epochs: int, batch_size: int, seed: int,
                         geometry: Optional[Dict] = None,
                         learning_rate: float = 1e-3,
-                        neg_sample: int = 8) -> str:
+                        neg_sample: int = 8,
+                        warmup: float = 0.0,
+                        stage: str = "bert_teacher") -> str:
     """Train the BertCrossEncoder teacher on bce_examples built from the
-    qrel + the BM25 run's candidates (reference
+    qrel + the run's candidates (reference
     build_bce_example_for_t5seq_encoder.py draws negatives from the
     query's run) and save it with its geometry. Returns the checkpoint
     dir. The reference downloads ms-marco-MiniLM-L-6-v2 instead
-    (arguments.py:218); zero egress means we train our own."""
-    ckpt = ws.path("checkpoints/bert_teacher")
+    (arguments.py:218); zero egress means we train our own.
+
+    ``warmup`` (fraction of total steps) is required for deep teachers:
+    d128x4+ at a flat lr never leaves init (BCE pinned at ln2, measured in
+    artifacts/teacher_strength.json d128x4e60). ``stage`` names the
+    checkpoint/trainset so the hard-negative refresh pass
+    (``teacher_refresh``) can coexist with the stage-0 teacher."""
+    ckpt = ws.path(f"checkpoints/{stage}")
     geo = geometry or dict(d_model=64, num_layers=2, num_heads=4, d_ff=128,
                            max_position=128)
     if (ckpt / "params").exists():
         return str(ckpt)
-    bce_path = ws.path("bce_examples.train.tsv")
+    bce_path = ws.path("bce_examples.train.tsv" if stage == "bert_teacher"
+                       else f"bce_examples.{stage}.tsv")
     if not bce_path.exists():
         save_bce_examples(bce_path, build_bce_examples(
             qrel, run, neg_sample=neg_sample, seed=seed))
@@ -121,11 +130,13 @@ def _train_bert_teacher(ws: Workspace, tok, queries: Collection,
     params = model.init({"params": jax.random.PRNGKey(seed)}, ids0,
                         ids0)["params"]
     bz = min(batch_size, len(examples))
+    total = _epochs_steps(len(examples), bz, epochs)
     tcfg = TrainConfig(loss_type="bert_bce", learning_rate=learning_rate,
-                       total_steps=_epochs_steps(len(examples), bz, epochs))
+                       total_steps=total,
+                       warmup_steps=int(warmup * total))
     batches = batches_from_bce(examples, coll, bz, epochs=epochs,
                                drop_last=False)
-    stage_train(ws, "bert_teacher", model, params, tcfg, batches, None,
+    stage_train(ws, stage, model, params, tcfg, batches, None,
                 rng_seed=seed)
     (ckpt / "bert_geometry.json").write_text(json.dumps(geo))
     return str(ckpt)
@@ -133,14 +144,15 @@ def _train_bert_teacher(ws: Workspace, tok, queries: Collection,
 
 def _teacher_quality(ws: Workspace, teacher_fn, tok, queries: Collection,
                      docs: Collection, bce_path,
-                     batch_size: int = 64) -> Dict[str, float]:
+                     batch_size: int = 64,
+                     stage: str = "bert_teacher") -> Dict[str, float]:
     """Measure the trained teacher's pos/neg logit separation on its own
     trainset — the margin SCALE the student will distill. The reference's
     MiniLM teacher ships with multi-unit logit margins; a from-scratch
     teacher left at init produces ~0 margins, turning every MarginMSE
     phase into 'make all scores equal' (measured: it collapses phase 3).
     Cached in the workspace next to the checkpoint."""
-    qpath = ws.path("checkpoints/bert_teacher/teacher_quality.json")
+    qpath = ws.path(f"checkpoints/{stage}/teacher_quality.json")
     if qpath.exists():
         return json.loads(qpath.read_text())
     from ripor_tpu.evaluation.reranker import rerank_pairs
@@ -315,7 +327,9 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                     phase3_prefix_heads: bool = True,
                     calibrate_teacher_scale: bool = False,
                     teacher_neg_sample: int = 8,
-                    min_teacher_mrr: float = 0.0
+                    min_teacher_mrr: float = 0.0,
+                    teacher_warmup: float = 0.0,
+                    teacher_refresh: bool = False
                     ) -> Dict[str, Dict[str, float]]:
     """Run phases 1..3 on a corpus slice; returns per-phase retrieval
     metrics {"phase2": {...}, "phase3": {...}} so callers can assert the
@@ -357,7 +371,23 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
     MarginMSE phase DOWNWARD. ``teacher_neg_sample`` controls how many
     BM25 hard negatives each qrel positive is contrasted with in the
     teacher's BCE trainset (reference
-    build_bce_example_for_t5seq_encoder.py:57-68)."""
+    build_bce_example_for_t5seq_encoder.py:57-68).
+
+    ``teacher_refresh`` retrains the teacher from scratch once the
+    phase-1 stage-0 model's SELF-MINED dense run exists, drawing BCE
+    negatives from the union of the BM25 run and that run — the
+    candidates every later MarginMSE stage actually asks the teacher to
+    rank. A BM25-only teacher has never seen those hard negatives and
+    under-ranks them (measured knee in artifacts/teacher_strength.json:
+    train-candidate MRR 0.747 bm25-only vs 0.820-0.831 with the union
+    pool; the 0.747 teacher is the r3 phase-3 collapse). The refreshed
+    teacher replaces the stage-0 one for everything downstream —
+    qid_to_reldocid_to_score is recomputed and the ``min_teacher_mrr``
+    gate moves to the refreshed teacher's stage-1 trainset. The reference
+    never needs this because its teacher is pretrained ms-marco-MiniLM
+    (arguments.py:218) — already strong on self-mined negatives.
+    ``teacher_warmup`` is the lr-warmup fraction for both teacher
+    trainings (deep teachers never leave init without it)."""
     ws = Workspace(workspace)
     docs = Collection(docs_dir)
     queries = Collection(queries_dir)
@@ -381,7 +411,8 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                                        batch_size=batch_size, seed=seed,
                                        geometry=teacher_geometry,
                                        learning_rate=teacher_lr,
-                                       neg_sample=teacher_neg_sample)
+                                       neg_sample=teacher_neg_sample,
+                                       warmup=teacher_warmup)
     from ripor_tpu.evaluation.reranker import load_bert_teacher, rerank_pairs
     teacher_fn = load_bert_teacher(teacher_ckpt, tok.vocab_size)
     tq = _teacher_quality(ws, teacher_fn, tok, queries, docs,
@@ -435,7 +466,9 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                            top_k=trainset_topk)
     tmrr = _trainset_mrr(t0, qrel)
     ws.log(f"teacher candidate-ranking MRR@10 (rescored BM25): {tmrr:.4f}")
-    if tmrr < min_teacher_mrr:
+    # with a refresh pass coming, the stage-0 teacher only needs to seed
+    # phase-1 stage 0 — the quality gate moves to the refreshed teacher
+    if not teacher_refresh and tmrr < min_teacher_mrr:
         raise ValueError(
             f"teacher candidate-ranking MRR@10 {tmrr:.4f} < required "
             f"{min_teacher_mrr} — the distillation target ranks worse than "
@@ -452,9 +485,53 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
     run0 = _dense_run(ws, "dense_run_phase1_0.json", embs0, model, params,
                       tok, queries, docs.ids, topk=retrieve_topk,
                       batch_size=batch_size)
+
+    if teacher_refresh:
+        # hard-negative teacher refresh: retrain from scratch on
+        # BM25 ∪ self-mined negatives, then swap it in for everything
+        # downstream (see the run_full_recipe docstring)
+        union = {q: dict(ds) for q, ds in bm25.items()}
+        for q, ds in run0.items():
+            union.setdefault(q, {}).update(ds)
+        teacher_ckpt = _train_bert_teacher(
+            ws, tok, queries, docs, qrel, union, epochs=teacher_epochs,
+            batch_size=batch_size, seed=seed, geometry=teacher_geometry,
+            learning_rate=teacher_lr, neg_sample=teacher_neg_sample,
+            warmup=teacher_warmup, stage="bert_teacher_refresh")
+        teacher_fn = load_bert_teacher(teacher_ckpt, tok.vocab_size)
+        tq = _teacher_quality(ws, teacher_fn, tok, queries, docs,
+                              ws.path("bce_examples.bert_teacher_refresh.tsv"),
+                              stage="bert_teacher_refresh")
+        ws.log(f"refreshed teacher quality: margin={tq['margin']:.3f} "
+               f"(pos {tq['pos_logit_mean']:.3f} / "
+               f"neg {tq['neg_logit_mean']:.3f})")
+        if tq["margin"] < min_teacher_margin:
+            raise ValueError(
+                f"refreshed teacher margin {tq['margin']:.3f} < required "
+                f"{min_teacher_margin}")
+        # the rel-pair scores must come from the SAME teacher that scores
+        # the negatives — MarginMSE margins are rel minus neg
+        rel_path = ws.path("qid_to_reldocid_to_score.refresh.json")
+        if not rel_path.exists():
+            rel_pairs = [(str(q), str(d)) for q, rels in qrel.items()
+                         for d, r in rels.items() if r > 0]
+            rel_path.write_text(json.dumps(teacher_pair_scores(rel_pairs)))
+        qid_to_reldocid_to_score = json.loads(rel_path.read_text())
+
     t1 = _teacher_trainset(ws, "pretrain_trainset_1.jsonl", run0,
                            teacher_pair_scores, qid_to_reldocid_to_score,
                            top_k=trainset_topk)
+    if teacher_refresh:
+        tmrr1 = _trainset_mrr(t1, qrel)
+        ws.log("refreshed teacher candidate-ranking MRR@10 (self-mined "
+               f"run): {tmrr1:.4f}")
+        if tmrr1 < min_teacher_mrr:
+            raise ValueError(
+                f"refreshed teacher candidate-ranking MRR@10 {tmrr1:.4f} < "
+                f"required {min_teacher_mrr} — the distillation target "
+                f"ranks worse than the gate (measured collapse at 0.747, "
+                f"artifacts/teacher_strength.json); raise teacher geometry/"
+                f"epochs or widen the negative pool")
     params = _pretrain_stage("phase1_pretrain_1", t1, params)
     # snapshot: the phase-2 MM candidate run below must score queries with
     # THIS model (the one that encoded the corpus), not the post-codebook

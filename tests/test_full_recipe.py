@@ -115,6 +115,56 @@ def test_full_recipe_runs_and_holds_floors(corpus):
         assert (ws / "checkpoints" / name / "params").exists(), name
 
 
+def test_full_recipe_teacher_refresh(corpus):
+    """teacher_refresh=True retrains the teacher on BM25 ∪ self-mined
+    negatives once phase-1 stage 0's dense run exists, swaps it in for all
+    downstream rescoring (fresh qid_to_reldocid_to_score), and moves the
+    min_teacher_mrr gate to the refreshed teacher's stage-1 trainset —
+    the r4 mechanism fix for distilling from a teacher that under-ranks
+    self-mined candidates (artifacts/teacher_strength.json)."""
+    from ripor_tpu.pipeline.full_recipe import run_full_recipe
+
+    tmp, docs_dir, queries_dir, qrel_path = corpus
+    ws = tmp / "ws_refresh"
+    metrics = run_full_recipe(
+        workspace=str(ws), docs_dir=str(docs_dir),
+        queries_dir=str(queries_dir), qrel_path=str(qrel_path),
+        teacher_refresh=True, teacher_warmup=0.1, **RECIPE_KW)
+    assert metrics["phase2"]["recall_10"] >= 0.99, metrics
+    assert metrics["phase3"]["recall_10"] >= 0.99, metrics
+    for name in ("checkpoints/bert_teacher/params",
+                 "checkpoints/bert_teacher_refresh/params",
+                 "bce_examples.bert_teacher_refresh.tsv",
+                 "qid_to_reldocid_to_score.refresh.json"):
+        assert (ws / name).exists(), name
+    # the refresh pool is a strict superset of BM25-only: its BCE trainset
+    # may draw negatives absent from the BM25 run
+    geo = json.loads((ws / "checkpoints/bert_teacher_refresh/"
+                      "bert_geometry.json").read_text())
+    assert geo == json.loads((ws / "checkpoints/bert_teacher/"
+                              "bert_geometry.json").read_text())
+    # downstream trainsets were rescored by the refreshed teacher: the
+    # rel-pair scores file differs from the stage-0 teacher's
+    s0 = json.loads((ws / "qid_to_reldocid_to_score.json").read_text())
+    s1 = json.loads((ws / "qid_to_reldocid_to_score.refresh.json").read_text())
+    assert set(s0) == set(s1)
+    assert any(abs(s0[q][d] - s1[q][d]) > 1e-6
+               for q in s0 for d in s0[q])
+
+
+def test_full_recipe_refresh_gate_fails_loud(corpus):
+    """An unreachable min_teacher_mrr must abort the refreshed run with the
+    gate's error, not train through a known-collapsing distillation."""
+    from ripor_tpu.pipeline.full_recipe import run_full_recipe
+
+    tmp, docs_dir, queries_dir, qrel_path = corpus
+    with pytest.raises(ValueError, match="candidate-ranking MRR@10"):
+        run_full_recipe(
+            workspace=str(tmp / "ws_refresh_gate"), docs_dir=str(docs_dir),
+            queries_dir=str(queries_dir), qrel_path=str(qrel_path),
+            teacher_refresh=True, min_teacher_mrr=1.01, **RECIPE_KW)
+
+
 def test_full_recipe_resumes(corpus):
     """Re-running the driver with everything built is a fast no-op that
     returns the same metrics (manifest/stage-skip semantics)."""

@@ -210,7 +210,7 @@ def main():
         # 6 epochs at 240q measured as catastrophic repetition.
         sizes = dict(n_clusters=120, docs_per_cluster=20, n_train_q=960,
                      n_dev_q=120)
-        run_kw = dict(M=32, K=256, phase1_epochs=4, teacher_epochs=20,
+        run_kw = dict(M=32, K=256, phase1_epochs=4, teacher_epochs=60,
                       s2s_epochs=60, mm_epochs=6, phase3_epochs=2,
                       num_beams=5, topk=10, batch_size=32,
                       datagen_num_beams=10)
@@ -228,11 +228,24 @@ def main():
     # rescaling the student's raw score scale to the teacher's logit scale
     # and destroys the ranking it should refine (measured: phase-2 MM alone
     # dropped dev MRR 0.267 -> 0.130; see train/calibrate.py)
+    # teacher config = the measured knee of the r4 strength sweep
+    # (artifacts/teacher_strength.json, d128x4hn_warm): d128x4 geometry at
+    # lr 3e-4 with 10% warmup (deep teachers never leave init without it)
+    # and teacher_refresh=True (hard-negative union pool) give train-
+    # candidate MRR 0.831 / dev 0.946 vs 0.747/0.856 for the r3 bm25-only
+    # d64x2 teacher whose distillation collapsed phase 3. min_teacher_mrr
+    # 0.78 sits between the measured collapse point (0.747) and the
+    # weakest union-pool teacher (0.789).
     common = dict(docs_dir=docs_dir, queries_dir=tq_dir, qrel_path=tqrel,
                   vocab_size=8 * sizes["n_clusters"] + n_docs + 50,
                   tokenizer_kind="word", seed=args.seed,
                   pseudo_queries_per_doc=3, min_teacher_margin=1.0,
                   calibrate_teacher_scale=True,
+                  teacher_geometry=dict(d_model=128, num_layers=4,
+                                        num_heads=8, d_ff=512,
+                                        max_position=128),
+                  teacher_lr=3e-4, teacher_warmup=0.1,
+                  teacher_refresh=True, min_teacher_mrr=0.78,
                   **run_kw)
 
     t0 = time.time()
