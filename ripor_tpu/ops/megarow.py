@@ -113,6 +113,14 @@ QFUSE = os.environ.get("RIPOR_MR_QFUSE", "1") == "1"
 # the timing difference vs mr_full isolates the DMA *bytes*. Never set in
 # production.
 _DMA_STUB = os.environ.get("RIPOR_MR_DMA_STUB", "0") == "1"
+# RIPOR_MR_MXU: run kernel B's quantized score/expand passes as batched
+# per-beam MXU dots ([Mc, F] @ [F, H] and [Mc, H]^T @ [Mc, F]) instead of
+# the VPU elementwise-multiply + block-diag formulation. Built to settle
+# VERDICT r3 #7: the ceiling doc rejected this lever on an ESTIMATE
+# (~5.7 ms vs the 1.8 ms VPU pass it replaces — N=12 heads pads to the
+# 128-wide MXU tile). Same products, same f32 accumulation — parity-tested
+# against the default formulation (tests/test_megarow.py).
+MXU_MATH = os.environ.get("RIPOR_MR_MXU", "0") == "1"
 
 
 def pick_layer_group(L: int, Mc: int, RW: int, isz: int,
@@ -472,6 +480,62 @@ def _seq_math_quant(qb, kvnew, bias_hist, bias_new, rows,
     return out + pn * v_new.astype(jnp.float32)
 
 
+def _seq_math_quant_mxu(qb, kvnew, bias_hist, bias_new, rows,
+                        num_heads: int, quant: str):
+    """_seq_math_quant with the two [C, Mc, F]-element VPU passes replaced
+    by batched per-beam MXU dots (RIPOR_MR_MXU=1):
+
+      scores: s[c] = k8[c] @ (q[c] ⊙ head_mask)    [Mc, F] @ [F, H]
+      expand: o[c] = (ps[c])ᵀ @ v8[c]              [H, Mc] @ [Mc, F]
+
+    head_mask is 0/1 so q⊙mask is exact; both dots accumulate f32 over the
+    same bf16 products as the default path (the expand even skips the
+    default's pe f32→bf16 round-trip) — differences are reduction-order
+    only. The lever trades VPU element passes for MXU tiles padded H=12→128
+    (scores) / K=Mc→tile (expand); the ceiling doc estimated this loses
+    ~3x — this implementation exists to measure it (VERDICT r3 #7)."""
+    C, F = qb.shape
+    Mc = rows.shape[1]
+    H = num_heads
+    head_of = jax.lax.broadcasted_iota(jnp.int32, (F, H), 0) // (F // H)
+    head_mask = (head_of == jax.lax.broadcasted_iota(jnp.int32, (F, H), 1))
+    hm = head_mask.astype(jnp.bfloat16)
+
+    if quant == "int4":
+        k8, v8 = _unpack_int4(rows[:, :, :F])            # bf16 planes
+        ef = rows[:, :, F:].astype(jnp.float32)
+    else:
+        k8 = rows[:, :, :F].astype(jnp.bfloat16)
+        v8 = rows[:, :, F:2 * F].astype(jnp.bfloat16)
+        ef = rows[:, :, 2 * F:].astype(jnp.float32)
+    ek = jnp.exp2(ef[:, :, :H])
+    ev = jnp.exp2(ef[:, :, H:2 * H])
+
+    qb = qb.astype(jnp.bfloat16)
+    qhm = qb[:, :, None] * hm[None]                      # [C, F, H]
+    s_hist = jax.lax.dot_general(
+        k8, qhm, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # [C, Mc, H]
+    s_hist = s_hist * ek + bias_hist.astype(jnp.float32)[None]
+
+    k_new = kvnew[:, :F].astype(jnp.bfloat16)
+    v_new = kvnew[:, F:]
+    s_new = jax.lax.dot(k_new * qb, hm,
+                        preferred_element_type=jnp.float32)          # [C, H]
+    s_new = s_new + bias_new.astype(jnp.float32)
+
+    scores = jnp.concatenate([s_hist, s_new[:, None, :]], axis=1)
+    probs = jax.nn.softmax(scores, axis=1)               # [C, Mc+1, H]
+    ps = (probs[:, :Mc] * ev).astype(jnp.bfloat16)       # [C, Mc, H]
+    outh = jax.lax.dot_general(
+        ps, v8, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # [C, H, F]
+    out = jnp.sum(outh * hm.T[None], axis=1)             # [C, F]
+    pn = jax.lax.dot(probs[:, Mc].astype(jnp.bfloat16), hm.T,
+                     preferred_element_type=jnp.float32)             # [C, F]
+    return out + pn * v_new.astype(jnp.float32)
+
+
 def _emit_quant_rows(kvnew_ref, kvq_ref, num_heads: int, emit_quant: str):
     """QFUSE: quantize this cell's fresh [chunk, 2F] kv rows (already in
     VMEM as the kvnew pipelined operand) to cache layout and write them to
@@ -562,7 +626,8 @@ def _seq_kernel(lt_ref, q_ref, kvnew_ref, bias_hist_ref, bias_new_ref,
         qb = q_ref[0, j0:j0 + mtile]
         kvn = kvnew_ref[0, j0:j0 + mtile]
         if quant:
-            out = _seq_math_quant(qb, kvn, bh, bn, rows, num_heads, quant)
+            fn = _seq_math_quant_mxu if MXU_MATH else _seq_math_quant
+            out = fn(qb, kvn, bh, bn, rows, num_heads, quant)
         else:
             out = _seq_math(qb, kvn, bh, bn, rows, num_heads)
         attn_ref[0, j0:j0 + mtile] = out.astype(attn_ref.dtype)
@@ -583,7 +648,8 @@ def _seq_kernel_stream(lt_ref, q_ref, kvnew_ref, bias_hist_ref,
         qb = q_ref[0, j0:j0 + mtile]
         kvn = kvnew_ref[0, j0:j0 + mtile]
         if quant:
-            out = _seq_math_quant(qb, kvn, bh, bn, rows, num_heads, quant)
+            fn = _seq_math_quant_mxu if MXU_MATH else _seq_math_quant
+            out = fn(qb, kvn, bh, bn, rows, num_heads, quant)
         else:
             out = _seq_math(qb, kvn, bh, bn, rows, num_heads)
         attn_ref[0, j0:j0 + mtile] = out.astype(attn_ref.dtype)

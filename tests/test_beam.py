@@ -669,3 +669,71 @@ def test_megarow_ffn_int8_retrieval_robust():
         set1 = {tuple(r) for r, sc in zip(c1[b], s1[b]) if sc > -1e29}
         assert len(set0 & set1) >= min(len(set0), len(set1)) - 1, \
             (b, set0, set1)
+
+
+def test_megarow_mxu_math_matches_vpu_unit():
+    """RIPOR_MR_MXU (kernel B's score/expand passes as batched per-beam MXU
+    dots) vs the default VPU formulation, at the math-function level: same
+    bf16 products, f32 accumulation — the only divergence is the default's
+    intermediate bf16 rounding of k·q products before the block-diag
+    reduction, so outputs must agree to bf16 tolerance."""
+    from ripor_tpu.ops.attend_reorder import (_quantize_rows,
+                                              _quantize_rows_int4)
+    from ripor_tpu.ops.megarow import _seq_math_quant, _seq_math_quant_mxu
+
+    rng = np.random.default_rng(3)
+    H, D, Mc, C = 3, 8, 6, 4
+    F = H * D
+    qb = jnp.asarray(rng.standard_normal((C, F)), jnp.float32)
+    kvnew = jnp.asarray(rng.standard_normal((C, 2 * F)), jnp.float32)
+    bias_hist = jnp.asarray(rng.standard_normal((Mc, H)), jnp.float32)
+    bias_new = jnp.asarray(rng.standard_normal((H,)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((C, Mc, 2 * F)) * 2, jnp.float32)
+    for quant, qfn in (("int8", _quantize_rows),
+                       ("int4", _quantize_rows_int4)):
+        rows = jnp.stack([jnp.concatenate(qfn(kv[c], H), axis=1)
+                          for c in range(C)])
+        vpu = np.asarray(_seq_math_quant(qb, kvnew, bias_hist, bias_new,
+                                         rows, H, quant))
+        mxu = np.asarray(_seq_math_quant_mxu(qb, kvnew, bias_hist, bias_new,
+                                             rows, H, quant))
+        # measured divergence: max abs 0.014 (int8) / 0.023 (int4) on O(1)
+        # outputs — the default path rounds each k·q product to bf16 before
+        # the block-diag reduction, the MXU dot keeps full product precision
+        np.testing.assert_allclose(mxu, vpu, rtol=0.1, atol=0.05,
+                                   err_msg=quant)
+
+
+def test_megarow_mxu_math_retrieval_robust():
+    """RIPOR_MR_MXU e2e through the int4 megarow beam search: same code-set
+    gates as test_megarow_int4_retrieval_robust against the MXU-off arm."""
+    import ripor_tpu.ops.megarow as mr
+    from ripor_tpu.decode.beam import make_beam_search_fn
+    from ripor_tpu.trie.succinct import succinct_tables
+
+    cfg, model, params, ids, mask, doc_codes, trie = setup(M=6, K=8, n_docs=40)
+    tables = jax.tree.map(jnp.asarray, succinct_tables(trie))
+    base_fn = make_beam_search_fn(cfg, 5, constrained=True, dtype=jnp.float32,
+                                  use_pallas_gather=False, megarow=True,
+                                  cache_segments=3, kv_cache_quant="int4")
+    s0, c0, st0 = base_fn(params, ids, mask, tables)
+    old = mr.MXU_MATH
+    try:
+        mr.MXU_MATH = True
+        jax.clear_caches()
+        mxu_fn = make_beam_search_fn(cfg, 5, constrained=True,
+                                     dtype=jnp.float32,
+                                     use_pallas_gather=False, megarow=True,
+                                     cache_segments=3, kv_cache_quant="int4")
+        s1, c1, st1 = mxu_fn(params, ids, mask, tables)
+    finally:
+        mr.MXU_MATH = old
+        jax.clear_caches()
+    s0, s1 = np.asarray(s0), np.asarray(s1)
+    c0, c1 = np.asarray(c0), np.asarray(c1)
+    np.testing.assert_array_equal(c0[:, 0], c1[:, 0])
+    for b in range(s0.shape[0]):
+        set0 = {tuple(r) for r, sc in zip(c0[b], s0[b]) if sc > -1e29}
+        set1 = {tuple(r) for r, sc in zip(c1[b], s1[b]) if sc > -1e29}
+        assert len(set0 & set1) >= min(len(set0), len(set1)) - 1, \
+            (b, set0, set1)

@@ -290,6 +290,12 @@ def main():
         ("mr_reorder_c16", dict(megarow=True, mr_chunk=16)),
         ("mr_no_kvgather", dict(megarow=True, bgr=fake_bgr)),
         ("mr_no_ffn", dict(megarow=True, finish=fake_finish)),
+        # itemize the ~2.5 ms "selection glue" (VERDICT r3 weak #3): trie
+        # masking and exact top-k measured individually on the production
+        # megarow path; the residual (glue - trie - topk) is beam select/
+        # log-prob bookkeeping
+        ("mr_unconstrained", dict(megarow=True, constrained=False)),
+        ("mr_approx_topk", dict(megarow=True, topk=approx_topk)),
         ("mr_no_kernels", dict(megarow=True, mr_reorder=fake_mr_reorder,
                                mr_attn=fake_mr_attn)),
     ]
