@@ -329,7 +329,8 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                     teacher_neg_sample: int = 8,
                     min_teacher_mrr: float = 0.0,
                     teacher_warmup: float = 0.0,
-                    teacher_refresh: bool = False
+                    teacher_refresh: bool = False,
+                    phase3_seq2seq_rehearsal: bool = False
                     ) -> Dict[str, Dict[str, float]]:
     """Run phases 1..3 on a corpus slice; returns per-phase retrieval
     metrics {"phase2": {...}, "phase3": {...}} so callers can assert the
@@ -387,7 +388,19 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
     never needs this because its teacher is pretrained ms-marco-MiniLM
     (arguments.py:218) — already strong on self-mined negatives.
     ``teacher_warmup`` is the lr-warmup fraction for both teacher
-    trainings (deep teachers never leave init without it)."""
+    trainings (deep teachers never leave init without it).
+
+    ``phase3_seq2seq_rehearsal`` interleaves a one-epoch seq2seq pass
+    after every phase-3 rank stage — the alternating form of the
+    reference's declared-but-unshipped joint config
+    ``t5seq_aq_encoder_lng_knp_margin_mse_and_seq2seq``
+    (arguments.py:97). At slice scale this is the difference between the
+    curriculum regressing and improving held-out retrieval: rank training
+    erodes the memorized doc->smtid mapping of docs outside the train
+    queries (measured medium-proof bleed 0.291 -> 0.265 dev MRR@10), and
+    rehearsal both recovers it and preserves the curriculum's prefix-
+    ranking gains (0.303 curriculum+rehearsal vs 0.294 rehearsal-only vs
+    0.291 phase 2; tools/phase3_sweep.py rhs_only/cur_rhs)."""
     ws = Workspace(workspace)
     docs = Collection(docs_dir)
     queries = Collection(queries_dir)
@@ -715,6 +728,28 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                                           epochs=phase3_epochs,
                                           drop_last=False),
             cfg, rng_seed=seed + plen)
+        if phase3_seq2seq_rehearsal:
+            # one seq2seq pass over the phase-2 trainset (pseudo-queries
+            # for ALL docs + train queries) after each rank stage: rank
+            # training moves the shared codebooks and the doc->smtid
+            # mapping of non-replayed docs decays (measured at medium
+            # proof scale: each phase-3 stage costs 0.01-0.03 held-out
+            # MRR@10 even with a gated teacher + scale calibration, and a
+            # post-hoc seq2seq pass recovers all of it — 0.265 -> 0.294).
+            # This is the alternating form of the reference's DECLARED
+            # rank+seq2seq config t5seq_aq_encoder_lng_knp_margin_mse_
+            # and_seq2seq (arguments.py:97 — whitelisted but its model
+            # class was never shipped).
+            bz_r = min(batch_size, len(s2s))
+            rcfg = TrainConfig(
+                loss_type="t5seq_aq_encoder_seq2seq", learning_rate=1e-3,
+                total_steps=_epochs_steps(len(s2s), bz_r, 1))
+            params = stage_train(
+                ws, f"phase3_s2s_rhs_{plen}", model, params, rcfg,
+                batches_from_seq2seq(
+                    s2s, Seq2SeqCollator(tok, d2c, max_length=32), bz_r,
+                    epochs=1, drop_last=False),
+                cfg, rng_seed=seed + 1000 + plen)
 
     # final checkpoint under the conventional name for the retrieve CLI
     final = ws.path("checkpoints/final")

@@ -121,7 +121,9 @@ def test_full_recipe_teacher_refresh(corpus):
     downstream rescoring (fresh qid_to_reldocid_to_score), and moves the
     min_teacher_mrr gate to the refreshed teacher's stage-1 trainset —
     the r4 mechanism fix for distilling from a teacher that under-ranks
-    self-mined candidates (artifacts/teacher_strength.json)."""
+    self-mined candidates (artifacts/teacher_strength.json). Also runs
+    phase3_seq2seq_rehearsal (the interleaved seq2seq pass from the
+    reference's declared rank+seq2seq config, arguments.py:97)."""
     from ripor_tpu.pipeline.full_recipe import run_full_recipe
 
     tmp, docs_dir, queries_dir, qrel_path = corpus
@@ -129,13 +131,17 @@ def test_full_recipe_teacher_refresh(corpus):
     metrics = run_full_recipe(
         workspace=str(ws), docs_dir=str(docs_dir),
         queries_dir=str(queries_dir), qrel_path=str(qrel_path),
-        teacher_refresh=True, teacher_warmup=0.1, **RECIPE_KW)
+        teacher_refresh=True, teacher_warmup=0.1,
+        phase3_seq2seq_rehearsal=True, **RECIPE_KW)
     assert metrics["phase2"]["recall_10"] >= 0.99, metrics
     assert metrics["phase3"]["recall_10"] >= 0.99, metrics
     for name in ("checkpoints/bert_teacher/params",
                  "checkpoints/bert_teacher_refresh/params",
                  "bce_examples.bert_teacher_refresh.tsv",
-                 "qid_to_reldocid_to_score.refresh.json"):
+                 "qid_to_reldocid_to_score.refresh.json",
+                 # one rehearsal stage per curriculum rung
+                 "checkpoints/phase3_s2s_rhs_4/params",
+                 "checkpoints/phase3_s2s_rhs_8/params"):
         assert (ws / name).exists(), name
     # the refresh pool is a strict superset of BM25-only: its BCE trainset
     # may draw negatives absent from the BM25 run

@@ -246,6 +246,12 @@ def main():
                                         max_position=128),
                   teacher_lr=3e-4, teacher_warmup=0.1,
                   teacher_refresh=True, min_teacher_mrr=0.78,
+                  # the r4 mechanism fix (applies to BOTH arms): interleave
+                  # a seq2seq epoch after every phase-3 rank stage — rank
+                  # training erodes the doc->smtid mapping of non-replayed
+                  # docs (measured: dev 0.291->0.265 without, 0.303 with;
+                  # see run_full_recipe docstring + phase3_sweep cur_rhs)
+                  phase3_seq2seq_rehearsal=True,
                   **run_kw)
 
     t0 = time.time()

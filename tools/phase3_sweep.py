@@ -51,7 +51,42 @@ VARIANTS = {
     # fits, THEN run the standard curriculum at the reference lr.
     "mmext":       (1e-4, 6, "mmext24", True),
     "mmext_long":  (1e-4, 6, "mmext48", True),
+    # the reference's QREL-FIRST refinement stage (full_train_t5seq_aq_
+    # encoder.sh:183-230, task t5seq_aq_encoder_lng_knp_margin_mse_sub_
+    # smtid): after the curriculum finishes, retrain the full-length lng_knp
+    # stage FROM the curriculum-final checkpoint on a trainset whose
+    # positive is the QREL smtid with its undecayed teacher rel score
+    # (add_qrel_first_create_json_example.py:66-92) instead of the
+    # teacher's top candidate — with teacher candidate MRR ~0.78, the
+    # teacher-top-first sets actively train a wrong positive on ~22% of
+    # rows. Prefix columns follow the reference's qrel-first mapping
+    # (create_lng_knp_examples_from_original_examples.py:7-8: {8,16} at
+    # mnt 32 — no smtid_4).
+    "qrf":         (1e-4, 2, "qrf", True),
+    "qrf6":        (1e-4, 6, "qrf", True),
+    "qrf_lowlr":   (3e-5, 2, "qrf", True),
+    # same transform but trained from PHASE 2 (skipping the teacher-top
+    # curriculum entirely) — distinguishes "the curriculum needs the qrf
+    # finisher" from "teacher-top-first training is net harm"
+    "qrf_p2":      (1e-4, 2, "qrf_p2", True),
+    # seq2seq-rehearsal probes for the measured dev bleed (every rank
+    # stage costs ~0.01-0.03 dev MRR at medium even with a 0.78-MRR
+    # teacher + calibration): rank training moves shared codebooks and
+    # the memorized doc->smtid mapping for non-replayed docs decays —
+    # the reference DECLARES the countermeasure config
+    # t5seq_aq_encoder_lng_knp_margin_mse_and_seq2seq (arguments.py:97,
+    # rank + seq2seq jointly) but never shipped its model class.
+    # rhs_only: can seq2seq alone RECOVER the bleed from the final ckpt?
+    # cur_rhs: curriculum with a 1-epoch seq2seq rehearsal after each
+    # rank stage (the alternating-form of the declared joint config).
+    "rhs_only":    (1e-3, 2, "rhs_only", True),
+    "cur_rhs":     (1e-4, 6, "cur_rhs", True),
 }
+
+# reference create_lng_knp_examples_from_original_examples.py:7-8
+_QRF_FACTORS = {32: {"smtid_8": 0.75, "smtid_16": 0.875},
+                16: {"smtid_8": 0.75 / 0.875},
+                8: {"smtid_4": 0.5 / 0.75}}
 
 
 def main():
@@ -77,7 +112,9 @@ def main():
 
     from curriculum_proof import dev_eval
     from ripor_tpu.data import (MarginMSECollator, Collection,
+                                Seq2SeqCollator, Seq2SeqExamples,
                                 TeacherScoreExamples,
+                                batches_from_seq2seq,
                                 batches_from_teacher_examples,
                                 load_docid_to_smtid)
     from ripor_tpu.models import RiporConfig, RiporModel
@@ -164,8 +201,97 @@ def main():
             jax.random.PRNGKey(args.seed + 999))
         return state.params
 
+    def build_qrf_trainset():
+        """Reference add_qrel_first_create_json_example.py:66-92 applied to
+        the workspace's decay-merged full-length rankdata: one example per
+        (qid, rel docid) with the QREL smtid + undecayed teacher rel score
+        first, the merged (already-decayed) candidates after; prefix
+        columns per the reference's qrel-first factor mapping."""
+        path = ws.path(f"qrf_lng_knp_{cfg.M}.train.json")
+        if path.exists():
+            return path
+        relp = ws.path("qid_to_reldocid_to_score.refresh.json")
+        if not relp.exists():
+            relp = ws.path("qid_to_reldocid_to_score.json")
+        rel = json.loads(relp.read_text())
+        docids_l, codes_l = load_docid_to_smtid(
+            str(ws.path("docid_to_smtid.json")))
+        p_str = {str(d): "_".join(str(x) for x in c)
+                 for d, c in zip(docids_l, codes_l)}
+        factors = _QRF_FACTORS[cfg.M]
+        rows = [json.loads(l) for l in
+                open(ws.path(f"lng_knp_qid_smtids_scores_{cfg.M}.train.json"))
+                if l.strip()]
+        with open(path, "w") as f:
+            for row in rows:
+                qid = str(row["qid"])
+                for reldocid, relscore in rel.get(qid, {}).items():
+                    ex = {"qid": qid,
+                          "smtids": [p_str[str(reldocid)]] + row["smtids"],
+                          "scores": [float(relscore)] + row["scores"]}
+                    for k, fa in factors.items():
+                        ex[f"{k}_scores"] = [s * fa for s in ex["scores"]]
+                    f.write(json.dumps(ex) + "\n")
+        return path
+
+    def s2s_rehearse(params, epochs=1, lr=1e-3):
+        """One pass of phase-2's seq2seq trainset (pseudo-queries for ALL
+        docs + train queries) to re-anchor the doc->smtid mapping that
+        rank training erodes."""
+        docids_l, codes_l = load_docid_to_smtid(
+            str(ws.path("docid_to_smtid.json")))
+        d2c = dict(zip(docids_l, codes_l))
+        s2s = Seq2SeqExamples(ws.path("query_to_docid.train.jsonl"))
+        bz = min(32, len(s2s))
+        steps = max(1, epochs * max(1, len(s2s) // bz))
+        tcfg = TrainConfig(loss_type="t5seq_aq_encoder_seq2seq",
+                           learning_rate=lr, total_steps=steps)
+        trainer = Trainer(model, tcfg, params)
+        state, _ = trainer.run(
+            batches_from_seq2seq(s2s, Seq2SeqCollator(tok, d2c,
+                                                      max_length=32),
+                                 bz, epochs=epochs, drop_last=False),
+            jax.random.PRNGKey(args.seed + 4242))
+        return state.params
+
     def train_variant(name, lr, epochs, plan, heads):
         params = params2
+        if plan == "rhs_only":
+            params = load_params(ws.path("checkpoints/final"), like=like)
+            params = s2s_rehearse(params, epochs=epochs, lr=lr)
+            save_params(ws.path(f"checkpoints/sweep_{name}"), params, cfg)
+            return params
+        if plan in ("qrf", "qrf_p2"):
+            if plan == "qrf":
+                params = load_params(ws.path("checkpoints/final"), like=like)
+            src = build_qrf_trainset()
+            cal = ws.path(f"qrf_lng_knp_{cfg.M}.{name}.cal.json")
+            from ripor_tpu.train.calibrate import calibrate_trainset
+            st = calibrate_trainset(str(src), str(cal), model, params, tok,
+                                    queries, smtid_as_docid=True,
+                                    prefix_lengths=(4, 8, 16),
+                                    seed=args.seed)
+            print(f"   qrf calibration alpha={st['alpha']:.3f}", flush=True)
+            examples = TeacherScoreExamples(str(cal), smtid_as_docid=True)
+            prefix = examples.prefix_lengths_present() if heads else ()
+            coll = MarginMSECollator(tok, queries, None, max_length=64,
+                                     smtid_as_docid=True,
+                                     prefix_lengths=prefix)
+            bz = min(32, len(examples))
+            steps = max(1, epochs * max(1, len(examples) // bz))
+            tcfg = TrainConfig(
+                loss_type=("t5seq_aq_encoder_lng_knp_margin_mse" if prefix
+                           else "t5seq_aq_encoder_margin_mse"),
+                learning_rate=lr, total_steps=steps)
+            trainer = Trainer(model, tcfg, params)
+            state, _ = trainer.run(
+                batches_from_teacher_examples(examples, coll, bz,
+                                              epochs=epochs,
+                                              drop_last=False),
+                jax.random.PRNGKey(args.seed + 777))
+            save_params(ws.path(f"checkpoints/sweep_{name}"), state.params,
+                        cfg)
+            return state.params
         if isinstance(plan, str) and plan.startswith("mmext"):
             params = mm_extend(params, int(plan[5:]))
             print(f"   post-mmext probe: "
@@ -175,7 +301,7 @@ def main():
             save_params(ws.path(f"checkpoints/sweep_{name}_mmonly"),
                         params, cfg)
             stages = curriculum
-        elif plan is None:
+        elif plan is None or plan == "cur_rhs":
             stages = curriculum
         elif plan == "flat":
             stages = [cfg.M]
@@ -204,6 +330,8 @@ def main():
                                               drop_last=False),
                 jax.random.PRNGKey(args.seed + plen))
             params = state.params
+            if plan == "cur_rhs":
+                params = s2s_rehearse(params, epochs=1)
         save_params(ws.path(f"checkpoints/sweep_{name}"), params, cfg)
         return params
 
