@@ -29,6 +29,7 @@ from ripor_tpu.data.collators import (
     Seq2SeqCollator,
     T5SeqBceCollator,
     batches_from_bce,
+    batches_from_joint,
     batches_from_seq2seq,
     batches_from_teacher_examples,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "MarginMSECollator", "Seq2SeqCollator", "PretrainCollator",
     "T5SeqBceCollator", "BertBceCollator",
     "batches_from_teacher_examples", "batches_from_seq2seq",
+    "batches_from_joint",
     "batches_from_bce",
     "PrefetchLoader", "device_prefetch", "epoch_batches",
 ]

@@ -235,6 +235,40 @@ def batches_from_teacher_examples(
             yield collator(samples)
 
 
+def batches_from_joint(rank_batches: Iterator[Dict],
+                       s2s_examples: Seq2SeqExamples,
+                       s2s_collator: Seq2SeqCollator,
+                       batch_size: int, seed: int = 0) -> Iterator[Dict]:
+    """Zip a rank-batch iterator with an endlessly cycling seq2seq batch
+    stream for the joint ``t5seq_aq_encoder_lng_knp_margin_mse_and_
+    seq2seq`` loss (reference arguments.py:97): each yielded batch carries
+    the rank keys plus the seq2seq sub-batch under ``s2s_`` prefixes. The
+    seq2seq stream reshuffles each wrap (seed advances) and keeps a fixed
+    batch shape (drop_last within an epoch; full-dataset batch when the
+    dataset is smaller than ``batch_size``) so XLA traces once."""
+    bz = min(batch_size, len(s2s_examples))
+
+    def s2s_forever():
+        e = 0
+        while True:
+            yielded = False
+            for b in batches_from_seq2seq(s2s_examples, s2s_collator, bz,
+                                          seed=seed + 31 * e, epochs=1,
+                                          drop_last=True):
+                yielded = True
+                yield b
+            e += 1
+            if not yielded:      # degenerate tiny dataset: single batch
+                yield s2s_collator([s2s_examples[i]
+                                    for i in range(len(s2s_examples))])
+
+    s2s = s2s_forever()
+    for rb in rank_batches:
+        out = dict(rb)
+        out.update({f"s2s_{k}": v for k, v in next(s2s).items()})
+        yield out
+
+
 def batches_from_seq2seq(examples: Seq2SeqExamples, collator: Seq2SeqCollator,
                          batch_size: int, seed: int = 0, epochs: int = 1,
                          drop_last: bool = True, process_index: int = 0,

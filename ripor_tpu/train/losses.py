@@ -115,6 +115,31 @@ def lng_knp_margin_mse(model: RiporModel, params, batch: Dict,
     return losses
 
 
+def lng_knp_margin_mse_and_seq2seq(model: RiporModel, params, batch: Dict,
+                                   train: bool = True, rng=None
+                                   ) -> Dict[str, jnp.ndarray]:
+    """Joint prefix-rank + seq2seq loss. The reference DECLARES this
+    config (``t5seq_aq_encoder_lng_knp_margin_mse_and_seq2seq``,
+    arguments.py:97) but never shipped its model class; the natural
+    composition is implemented here: lng_knp MarginMSE on the rank keys
+    plus codebook CE on an independently drawn seq2seq sub-batch (keys
+    prefixed ``s2s_``, built by ``batches_from_joint``), all summed by the
+    trainer with unit weights like every other multi-loss head.
+
+    Mechanism note: the seq2seq term is the anti-forgetting rehearsal the
+    phase-3 curriculum needs at slice scale (rank training erodes the
+    doc->smtid mapping of non-replayed docs — measured in
+    artifacts/curriculum_proof_medium.json); the alternating-stage form
+    is ``run_full_recipe(phase3_seq2seq_rehearsal=True)``."""
+    out = lng_knp_margin_mse(model, params, batch, train=train, rng=rng)
+    s2s = {"query_ids": batch["s2s_query_ids"],
+           "query_mask": batch["s2s_query_mask"],
+           "codes": batch["s2s_codes"]}
+    out["seq2seq"] = seq2seq_ce(model, params, s2s, train=train,
+                                rng=rng)["rank"]
+    return out
+
+
 def pretrain_margin_mse(model: RiporModel, params, batch: Dict,
                         train: bool = True, rng=None) -> Dict[str, jnp.ndarray]:
     """Phase-1 dense-encoder MarginMSE (reference :708-769): score =
@@ -231,6 +256,8 @@ LOSS_FNS = {
     "t5seq_aq_encoder_margin_mse": margin_mse,
     "t5seq_aq_encoder_seq2seq": seq2seq_ce,
     "t5seq_aq_encoder_lng_knp_margin_mse": lng_knp_margin_mse,
+    "t5seq_aq_encoder_lng_knp_margin_mse_and_seq2seq":
+        lng_knp_margin_mse_and_seq2seq,
     "t5seq_pretrain_margin_mse": pretrain_margin_mse,
     "t5seq_aq_encoder_ranknet": ranknet,
     # teacher / baseline families (reference arguments.py:81-100 whitelist

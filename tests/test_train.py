@@ -72,6 +72,77 @@ def test_lng_knp_emits_prefix_losses(m, expected):
     assert set(out) == expected
 
 
+def test_lng_knp_and_seq2seq_joint_loss():
+    """The reference's declared joint config (arguments.py:97,
+    t5seq_aq_encoder_lng_knp_margin_mse_and_seq2seq — whitelisted but its
+    model class was never shipped): rank(+prefix) losses on the rank keys
+    plus codebook CE on the s2s_ sub-batch, one dict the trainer sums."""
+    from ripor_tpu.train.losses import (LOSS_FNS,
+                                        lng_knp_margin_mse_and_seq2seq)
+
+    cfg, model, params, ids, mask, codes, rng = setup(M=16)
+    batch = marginmse_batch(ids, mask, codes, rng, m=16)
+    for plen in (4, 8):
+        batch[f"smtid_{plen}_teacher_pos_score"] = batch["teacher_pos_score"]
+        batch[f"smtid_{plen}_teacher_neg_score"] = batch["teacher_neg_score"]
+    batch["s2s_query_ids"] = ids
+    batch["s2s_query_mask"] = mask
+    batch["s2s_codes"] = codes
+    out = lng_knp_margin_mse_and_seq2seq(model, params, batch)
+    assert set(out) == {"rank", "rank_4", "rank_8", "seq2seq"}
+    assert all(np.isfinite(float(v)) for v in out.values())
+    # the seq2seq term equals the standalone CE on the same sub-batch
+    ce = seq2seq_ce(model, params, {"query_ids": ids, "query_mask": mask,
+                                    "codes": codes})["rank"]
+    np.testing.assert_allclose(float(out["seq2seq"]), float(ce), rtol=1e-6)
+    assert ("t5seq_aq_encoder_lng_knp_margin_mse_and_seq2seq" in LOSS_FNS)
+
+
+def test_batches_from_joint_merges_key_sets(tmp_path):
+    """batches_from_joint zips rank batches with a cycling fixed-shape
+    seq2seq stream under s2s_ prefixes (cycle longer than one s2s epoch)."""
+    import json
+
+    from ripor_tpu.data import (Collection, MarginMSECollator,
+                                Seq2SeqCollator, Seq2SeqExamples,
+                                TeacherScoreExamples, WordTokenizer,
+                                batches_from_joint,
+                                batches_from_teacher_examples)
+
+    qdir = tmp_path / "queries"; qdir.mkdir()
+    with open(qdir / "raw.tsv", "w") as f:
+        for i in range(6):
+            f.write(f"q{i}\tfind topic {i}\n")
+    queries = Collection(str(qdir))
+    tok = WordTokenizer.train(["find topic"] + [str(i) for i in range(6)],
+                              vocab_size=32)
+    rank_path = tmp_path / "rank.jsonl"
+    with open(rank_path, "w") as f:
+        for i in range(6):
+            f.write(json.dumps({"qid": f"q{i}",
+                                "smtids": ["1_2_3_4", "2_3_4_5", "3_4_5_6"],
+                                "scores": [3.0, 2.0, 1.0]}) + "\n")
+    s2s_path = tmp_path / "s2s.jsonl"
+    with open(s2s_path, "w") as f:
+        for i in range(3):      # smaller than the rank set: must cycle
+            f.write(json.dumps({"docid": f"d{i}",
+                                "query": f"find topic {i}"}) + "\n")
+    d2c = {f"d{i}": np.full(4, i, np.int32) for i in range(3)}
+    rank = TeacherScoreExamples(rank_path, smtid_as_docid=True)
+    rb = batches_from_teacher_examples(
+        rank, MarginMSECollator(tok, queries, None, max_length=8,
+                                smtid_as_docid=True), 2, epochs=2,
+        drop_last=False)
+    batches = list(batches_from_joint(
+        rb, Seq2SeqExamples(s2s_path), Seq2SeqCollator(tok, d2c,
+                                                       max_length=8), 2))
+    assert len(batches) == 6    # 6 rank examples x 2 epochs / bz 2
+    for b in batches:
+        assert {"query_ids", "pos_codes", "neg_codes",
+                "s2s_query_ids", "s2s_query_mask", "s2s_codes"} <= set(b)
+        assert b["s2s_codes"].shape == (2, 4)   # fixed shape across cycles
+
+
 def test_pretrain_margin_mse_with_and_without_prefix():
     cfg, model, params, ids, mask, codes, rng = setup()
     base = {
