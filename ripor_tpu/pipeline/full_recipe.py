@@ -330,7 +330,10 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                     min_teacher_mrr: float = 0.0,
                     teacher_warmup: float = 0.0,
                     teacher_refresh: bool = False,
-                    phase3_seq2seq_rehearsal: bool = False
+                    phase3_seq2seq_rehearsal: bool = False,
+                    phase3_rehearsal_lr: float = 1e-3,
+                    phase3_rehearsal_epochs: int = 1,
+                    phase3_joint_seq2seq: bool = False
                     ) -> Dict[str, Dict[str, float]]:
     """Run phases 1..3 on a corpus slice; returns per-phase retrieval
     metrics {"phase2": {...}, "phase3": {...}} so callers can assert the
@@ -400,7 +403,24 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
     queries (measured medium-proof bleed 0.291 -> 0.265 dev MRR@10), and
     rehearsal both recovers it and preserves the curriculum's prefix-
     ranking gains (0.303 curriculum+rehearsal vs 0.294 rehearsal-only vs
-    0.291 phase 2; tools/phase3_sweep.py rhs_only/cur_rhs)."""
+    0.291 phase 2; tools/phase3_sweep.py rhs_only/cur_rhs).
+
+    ``phase3_rehearsal_lr``/``phase3_rehearsal_epochs`` size the rehearsal
+    dose. The right dose SCALES INVERSELY with corpus size: the rehearsal
+    trainset (pseudo-queries for all docs + train queries) grows with the
+    corpus while its loss is already fit after phase 2 (first logged
+    rehearsal step 0.089 at 2400 docs), so at lr 1e-3 a large corpus gets
+    hundreds of near-zero-loss steps of pure codebook perturbation that
+    WIPE the rank stage's gains (measured full-scale r4: rank stage +0.005
+    dev MRR, following rehearsal -0.032; artifacts/phase3_dynamics_r4.md).
+
+    ``phase3_joint_seq2seq`` trains each phase-3 stage with the reference's
+    declared joint config ``t5seq_aq_encoder_lng_knp_margin_mse_and_
+    seq2seq`` (arguments.py:97): every rank batch carries a seq2seq
+    sub-batch (batches_from_joint) so the anti-forgetting gradient arrives
+    continuously AT THE RANK LR instead of as a separate high-lr pass —
+    the dose then scales with rank steps, not corpus size. Use INSTEAD of
+    ``phase3_seq2seq_rehearsal`` (both at once double-doses)."""
     ws = Workspace(workspace)
     docs = Collection(docs_dir)
     queries = Collection(queries_dir)
@@ -713,6 +733,13 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
         coll = MarginMSECollator(tok, queries, None, max_length=64,
                                  smtid_as_docid=True, prefix_lengths=prefix)
         bz = min(batch_size, len(examples))
+        if phase3_joint_seq2seq:
+            # the declared joint config (reference arguments.py:97):
+            # lng_knp rank margins + a seq2seq sub-batch per step. With no
+            # prefix keys present (plen=4 sub-smtid stage, or the flat
+            # ablation) the lng_knp term reduces exactly to the full
+            # margin, so one joint loss covers every stage.
+            loss_type = "t5seq_aq_encoder_lng_knp_margin_mse_and_seq2seq"
         # lr 1e-4 per the reference (full_lng_knp_train_pipline.sh:31,85) —
         # MarginMSE first has to pull the student's raw score SCALE
         # (Σ_i⟨q_i,d_i⟩, O(100)) toward the teacher's logit scale (O(1));
@@ -722,12 +749,17 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
         tcfg = TrainConfig(loss_type=loss_type, learning_rate=phase3_lr,
                            total_steps=_epochs_steps(len(examples), bz,
                                                      phase3_epochs))
+        rank_batches = batches_from_teacher_examples(examples, coll, bz,
+                                                     epochs=phase3_epochs,
+                                                     drop_last=False)
+        if phase3_joint_seq2seq:
+            from ripor_tpu.data import batches_from_joint
+            rank_batches = batches_from_joint(
+                rank_batches, s2s, Seq2SeqCollator(tok, d2c, max_length=32),
+                min(batch_size, len(s2s)), seed=seed + 500 + plen)
         params = stage_train(
             ws, f"phase3_mnt_{plen}", model, params, tcfg,
-            batches_from_teacher_examples(examples, coll, bz,
-                                          epochs=phase3_epochs,
-                                          drop_last=False),
-            cfg, rng_seed=seed + plen)
+            rank_batches, cfg, rng_seed=seed + plen)
         if phase3_seq2seq_rehearsal:
             # one seq2seq pass over the phase-2 trainset (pseudo-queries
             # for ALL docs + train queries) after each rank stage: rank
@@ -742,13 +774,15 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
             # class was never shipped).
             bz_r = min(batch_size, len(s2s))
             rcfg = TrainConfig(
-                loss_type="t5seq_aq_encoder_seq2seq", learning_rate=1e-3,
-                total_steps=_epochs_steps(len(s2s), bz_r, 1))
+                loss_type="t5seq_aq_encoder_seq2seq",
+                learning_rate=phase3_rehearsal_lr,
+                total_steps=_epochs_steps(len(s2s), bz_r,
+                                          phase3_rehearsal_epochs))
             params = stage_train(
                 ws, f"phase3_s2s_rhs_{plen}", model, params, rcfg,
                 batches_from_seq2seq(
                     s2s, Seq2SeqCollator(tok, d2c, max_length=32), bz_r,
-                    epochs=1, drop_last=False),
+                    epochs=phase3_rehearsal_epochs, drop_last=False),
                 cfg, rng_seed=seed + 1000 + plen)
 
     # final checkpoint under the conventional name for the retrieve CLI

@@ -160,6 +160,15 @@ def main():
     ap.add_argument("--skip-flat", action="store_true",
                     help="skip the flat ablation arm")
     ap.add_argument("--seed", type=int, default=0)
+    # phase-3 anti-forgetting mechanism (tools/phase3_fullscale_sweep.py
+    # measures these at full scale; artifacts/phase3_dynamics_r4.md)
+    ap.add_argument("--rehearsal-lr", type=float, default=1e-3)
+    ap.add_argument("--rehearsal-epochs", type=int, default=1)
+    ap.add_argument("--no-rehearsal", action="store_true",
+                    help="disable the alternating seq2seq rehearsal")
+    ap.add_argument("--joint-seq2seq", action="store_true",
+                    help="use the reference's declared joint rank+seq2seq "
+                         "loss in phase 3 instead of alternating rehearsal")
     args = ap.parse_args()
     if args.small:
         args.size = "small"
@@ -236,6 +245,12 @@ def main():
     # d64x2 teacher whose distillation collapsed phase 3. min_teacher_mrr
     # 0.78 sits between the measured collapse point (0.747) and the
     # weakest union-pool teacher (0.789).
+    # the 0.78 teacher-MRR floor was measured at FULL scale (between the
+    # 0.747 collapse point and the weakest passing union-pool teacher,
+    # artifacts/teacher_strength.json); the tiny CI corpus (60 docs / 24
+    # train q) tops out near 0.52 with the same geometry — gating there
+    # would fail every smoke run, so small is driver-sanity-only.
+    teacher_mrr_floor = {"small": 0.0, "medium": 0.78, "full": 0.78}
     common = dict(docs_dir=docs_dir, queries_dir=tq_dir, qrel_path=tqrel,
                   vocab_size=8 * sizes["n_clusters"] + n_docs + 50,
                   tokenizer_kind="word", seed=args.seed,
@@ -245,13 +260,18 @@ def main():
                                         num_heads=8, d_ff=512,
                                         max_position=128),
                   teacher_lr=3e-4, teacher_warmup=0.1,
-                  teacher_refresh=True, min_teacher_mrr=0.78,
+                  teacher_refresh=True,
+                  min_teacher_mrr=teacher_mrr_floor[args.size],
                   # the r4 mechanism fix (applies to BOTH arms): interleave
                   # a seq2seq epoch after every phase-3 rank stage — rank
                   # training erodes the doc->smtid mapping of non-replayed
                   # docs (measured: dev 0.291->0.265 without, 0.303 with;
                   # see run_full_recipe docstring + phase3_sweep cur_rhs)
-                  phase3_seq2seq_rehearsal=True,
+                  phase3_seq2seq_rehearsal=not (args.no_rehearsal
+                                                or args.joint_seq2seq),
+                  phase3_rehearsal_lr=args.rehearsal_lr,
+                  phase3_rehearsal_epochs=args.rehearsal_epochs,
+                  phase3_joint_seq2seq=args.joint_seq2seq,
                   **run_kw)
 
     t0 = time.time()
@@ -269,9 +289,9 @@ def main():
     # per-stage dev table (VERDICT r3 #4): localize any regression to the
     # stage that caused it in ONE run instead of a sweep campaign
     M = run_kw["M"]
-    stages = ["phase2_seq2seq", "phase2_margin_mse"] + [
-        f"phase3_mnt_{p}" for p in sorted({q for q in (4, 8, 16, 32)
-                                           if q < M} | {M})]
+    stages = ["phase2_seq2seq", "phase2_margin_mse"]
+    for p in sorted({q for q in (4, 8, 16, 32) if q < M} | {M}):
+        stages += [f"phase3_mnt_{p}", f"phase3_s2s_rhs_{p}"]
     results["dev"]["per_stage"] = {}
     for st in stages:
         if not (Path(ws_cur) / "checkpoints" / st / "params").exists():

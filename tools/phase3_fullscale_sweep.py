@@ -1,0 +1,159 @@
+"""Full-scale phase-3 anti-forgetting variant sweep (round 4).
+
+The r4 full-scale proof run localized the curriculum FAIL to the rehearsal
+dose (artifacts/phase3_dynamics_r4.md): the first rank stage GAINS dev MRR
+(+0.005) and the lr-1e-3 rehearsal pass that follows wipes it (-0.032) —
+at 2400 docs the rehearsal trainset is ~255 steps/epoch of already-fit
+(loss 0.089) high-lr codebook perturbation. This driver measures the three
+mechanism-level fixes at the proof's full scale, sharing phase 1+2
+bit-for-bit across variants (clone_through_phase2):
+
+  no_rhs  rehearsal off — rank stages alone (the r4 per-stage table says
+          erosion at 40% doc-coverage may be small enough to not need it)
+  joint   the reference's DECLARED joint config (arguments.py:97):
+          every rank batch carries a seq2seq sub-batch at the rank lr —
+          the anti-forgetting dose scales with rank steps, not corpus size
+  gentle  alternating rehearsal kept, lr 1e-3 -> 1e-4
+
+Writes artifacts/phase3_fullscale_sweep.json incrementally (crash-safe)
+with per-variant final + per-stage held-out dev metrics. The winner's
+workspace is `<workdir>/ws_v_<name>`; rename it to `<workdir>/ws_curriculum`
+and re-run tools/curriculum_proof.py with the matching flags + the same
+workdir to produce the gated proof artifact without re-training phase 1+2.
+
+Usage: python tools/phase3_fullscale_sweep.py [workdir] \
+          [--variants no_rhs,joint,gentle] [--size full]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from curriculum_proof import build_corpus, clone_through_phase2, dev_eval
+
+SIZES = {
+    "medium": (dict(n_clusters=60, docs_per_cluster=10, n_train_q=120,
+                    n_dev_q=60),
+               dict(M=16, K=64, phase1_epochs=4, teacher_epochs=60,
+                    s2s_epochs=60, mm_epochs=6, phase3_epochs=6,
+                    num_beams=5, topk=10, batch_size=32)),
+    "full": (dict(n_clusters=120, docs_per_cluster=20, n_train_q=960,
+                  n_dev_q=120),
+             dict(M=32, K=256, phase1_epochs=4, teacher_epochs=60,
+                  s2s_epochs=60, mm_epochs=6, phase3_epochs=2,
+                  num_beams=5, topk=10, batch_size=32,
+                  datagen_num_beams=10)),
+}
+
+VARIANTS = {
+    "no_rhs": dict(phase3_seq2seq_rehearsal=False),
+    "joint": dict(phase3_seq2seq_rehearsal=False, phase3_joint_seq2seq=True),
+    "gentle": dict(phase3_seq2seq_rehearsal=True, phase3_rehearsal_lr=1e-4),
+    # the r4 FAIL configuration, for reference only
+    "rhs_1e3": dict(phase3_seq2seq_rehearsal=True, phase3_rehearsal_lr=1e-3),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir", nargs="?",
+                    default="/root/repo/.workdir/p3sweep")
+    ap.add_argument("--variants", default="no_rhs,joint,gentle")
+    ap.add_argument("--size", choices=list(SIZES), default="full")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    base = Path(args.workdir)
+    base.mkdir(parents=True, exist_ok=True)
+    sizes, run_kw = SIZES[args.size]
+    docs_dir, tq_dir, tqrel, dq_dir, dqrel = build_corpus(
+        base, seed=args.seed, **sizes)
+    n_docs = sizes["n_clusters"] * sizes["docs_per_cluster"]
+    print(f"corpus: {n_docs} docs / {sizes['n_train_q']} train q / "
+          f"{sizes['n_dev_q']} dev q", flush=True)
+
+    from ripor_tpu.pipeline.full_recipe import run_full_recipe
+
+    # identical to tools/curriculum_proof.py full-size `common` (the
+    # measured r4 teacher/calibration configuration) minus the rehearsal
+    # knobs the variants set themselves
+    common = dict(docs_dir=docs_dir, queries_dir=tq_dir, qrel_path=tqrel,
+                  vocab_size=8 * sizes["n_clusters"] + n_docs + 50,
+                  tokenizer_kind="word", seed=args.seed,
+                  pseudo_queries_per_doc=3, min_teacher_margin=1.0,
+                  calibrate_teacher_scale=True,
+                  teacher_geometry=dict(d_model=128, num_layers=4,
+                                        num_heads=8, d_ff=512,
+                                        max_position=128),
+                  teacher_lr=3e-4, teacher_warmup=0.1,
+                  teacher_refresh=True, min_teacher_mrr=0.78,
+                  **run_kw)
+
+    art = Path("/root/repo/artifacts")
+    art.mkdir(exist_ok=True)
+    out_path = art / f"phase3_fullscale_sweep_{args.size}.json"
+    results = (json.loads(out_path.read_text()) if out_path.exists()
+               else {"corpus": sizes, "variants": {}})
+
+    variants = [v.strip() for v in args.variants.split(",") if v.strip()]
+    ws_first = None
+    for vi, name in enumerate(variants):
+        kw = VARIANTS[name]
+        ws = str(base / f"ws_v_{name}")
+        if ws_first is not None:
+            clone_through_phase2(ws_first, ws)
+        t0 = time.time()
+        m = run_full_recipe(workspace=ws, **common, **kw)
+        if ws_first is None:
+            ws_first = ws
+        print(f"[{name}] recipe done in {time.time()-t0:.0f}s", flush=True)
+
+        entry = {"train_metrics": m, "wall_s": round(time.time() - t0, 1)}
+        if "phase2" not in results:
+            results["phase2"] = dev_eval(
+                ws, "phase2_margin_mse", dq_dir, dqrel,
+                run_kw["num_beams"], run_kw["topk"])
+            print(f"phase2 dev: {results['phase2']['full']}", flush=True)
+        entry["dev"] = dev_eval(ws, "final", dq_dir, dqrel,
+                                run_kw["num_beams"], run_kw["topk"],
+                                tag=f"final_{name}")
+        entry["per_stage"] = {}
+        M = run_kw["M"]
+        stages = []
+        for p in sorted({q for q in (4, 8, 16, 32) if q < M} | {M}):
+            stages += [f"phase3_mnt_{p}", f"phase3_s2s_rhs_{p}"]
+        for st in stages:
+            if not (Path(ws) / "checkpoints" / st / "params").exists():
+                continue
+            entry["per_stage"][st] = dev_eval(
+                ws, st, dq_dir, dqrel, run_kw["num_beams"],
+                run_kw["topk"], prefix_eval=(), tag=f"{st}_{name}")["full"]
+            print(f"   [{name}] {st}: "
+                  f"mrr {entry['per_stage'][st]['mrr_10']:.4f}", flush=True)
+        results["variants"][name] = entry
+        out_path.write_text(json.dumps(results, indent=1))
+        print(f"[{name}] dev full mrr@10 "
+              f"{entry['dev']['full']['mrr_10']:.4f} "
+              f"p4 {entry['dev']['prefix4']['mrr_10']:.4f} "
+              f"p8 {entry['dev']['prefix8']['mrr_10']:.4f}", flush=True)
+
+    p2 = results["phase2"]["full"]["mrr_10"]
+    print(f"\n== sweep results (phase2 dev mrr@10 {p2:.4f}) ==")
+    print(f"{'variant':10s} {'full':>8s} {'p4':>8s} {'p8':>8s} {'gate':>6s}")
+    for name, e in results["variants"].items():
+        d = e["dev"]
+        print(f"{name:10s} {d['full']['mrr_10']:8.4f} "
+              f"{d['prefix4']['mrr_10']:8.4f} {d['prefix8']['mrr_10']:8.4f} "
+              f"{'PASS' if d['full']['mrr_10'] > p2 else 'fail':>6s}")
+    print(f"artifact: {out_path}")
+
+
+if __name__ == "__main__":
+    main()
