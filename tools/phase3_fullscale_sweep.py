@@ -26,6 +26,7 @@ Usage: python tools/phase3_fullscale_sweep.py [workdir] \
 """
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -67,8 +68,17 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
+    # default to CPU; RIPOR_PROOF_TPU=1 keeps the chip backend (same contract
+    # as tools/curriculum_proof.py). On the 1-core build VMs the full-scale
+    # recipe is CPU-infeasible (~28.8k teacher steps at ~3 steps/s alone) —
+    # the chip path with the persistent compile cache is the practical one.
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("RIPOR_PROOF_TPU", "0") != "1":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     base = Path(args.workdir)
     base.mkdir(parents=True, exist_ok=True)
