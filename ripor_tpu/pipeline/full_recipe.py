@@ -30,6 +30,7 @@ checkpoints into the workspace and is skipped when its outputs exist
 """
 from __future__ import annotations
 
+import itertools
 import json
 from typing import Dict, List, Mapping, Optional, Sequence, Tuple
 
@@ -333,7 +334,9 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                     phase3_seq2seq_rehearsal: bool = False,
                     phase3_rehearsal_lr: float = 1e-3,
                     phase3_rehearsal_epochs: int = 1,
-                    phase3_joint_seq2seq: bool = False
+                    phase3_joint_seq2seq: bool = False,
+                    phase3_joint_weight: float = 1.0,
+                    phase3_rehearsal_max_steps: int = 0
                     ) -> Dict[str, Dict[str, float]]:
     """Run phases 1..3 on a corpus slice; returns per-phase retrieval
     metrics {"phase2": {...}, "phase3": {...}} so callers can assert the
@@ -420,7 +423,24 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
     sub-batch (batches_from_joint) so the anti-forgetting gradient arrives
     continuously AT THE RANK LR instead of as a separate high-lr pass —
     the dose then scales with rank steps, not corpus size. Use INSTEAD of
-    ``phase3_seq2seq_rehearsal`` (both at once double-doses)."""
+    ``phase3_seq2seq_rehearsal`` (both at once double-doses).
+
+    ``phase3_joint_weight`` weights the joint loss's seq2seq term
+    (TrainConfig.loss_weights — the reference's ln_to_weight machinery,
+    arguments.py:109-141). At unit weight the seq2seq CE (~2-5) is ~0.3%
+    of the calibrated rank MSE (~1000-2000) and contributes nothing to
+    the clipped gradient direction — the r4 measurement of joint-at-1.0
+    being indistinguishable from rehearsal-off is exactly this
+    (artifacts/phase3_fullscale_sweep_full.json: 0.2719 vs no_rhs).
+    Set to ~the measured grad-norm ratio for gradient parity
+    (tools/phase3_probe.py measures it on a workspace).
+
+    ``phase3_rehearsal_max_steps`` > 0 caps each rehearsal pass's step
+    count (batch iterator truncation + matching lr schedule): the
+    anti-forgetting dose in optimizer steps stays FIXED as the corpus
+    grows instead of scaling with the rehearsal trainset (at 2400 docs a
+    full epoch is ~255 steps at 10x the rank lr — measured to wipe the
+    rank stage's gains; the medium rung's proven dose is ~60 steps)."""
     ws = Workspace(workspace)
     docs = Collection(docs_dir)
     queries = Collection(queries_dir)
@@ -748,7 +768,12 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
         # scale)
         tcfg = TrainConfig(loss_type=loss_type, learning_rate=phase3_lr,
                            total_steps=_epochs_steps(len(examples), bz,
-                                                     phase3_epochs))
+                                                     phase3_epochs),
+                           loss_weights=(
+                               {"seq2seq": phase3_joint_weight}
+                               if (phase3_joint_seq2seq
+                                   and phase3_joint_weight != 1.0)
+                               else None))
         rank_batches = batches_from_teacher_examples(examples, coll, bz,
                                                      epochs=phase3_epochs,
                                                      drop_last=False)
@@ -773,17 +798,22 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
             # and_seq2seq (arguments.py:97 — whitelisted but its model
             # class was never shipped).
             bz_r = min(batch_size, len(s2s))
+            rhs_steps = _epochs_steps(len(s2s), bz_r,
+                                      phase3_rehearsal_epochs)
+            if phase3_rehearsal_max_steps > 0:
+                rhs_steps = min(rhs_steps, phase3_rehearsal_max_steps)
             rcfg = TrainConfig(
                 loss_type="t5seq_aq_encoder_seq2seq",
                 learning_rate=phase3_rehearsal_lr,
-                total_steps=_epochs_steps(len(s2s), bz_r,
-                                          phase3_rehearsal_epochs))
+                total_steps=rhs_steps)
+            rhs_batches = batches_from_seq2seq(
+                s2s, Seq2SeqCollator(tok, d2c, max_length=32), bz_r,
+                epochs=phase3_rehearsal_epochs, drop_last=False)
+            if phase3_rehearsal_max_steps > 0:
+                rhs_batches = itertools.islice(rhs_batches, rhs_steps)
             params = stage_train(
                 ws, f"phase3_s2s_rhs_{plen}", model, params, rcfg,
-                batches_from_seq2seq(
-                    s2s, Seq2SeqCollator(tok, d2c, max_length=32), bz_r,
-                    epochs=phase3_rehearsal_epochs, drop_last=False),
-                cfg, rng_seed=seed + 1000 + plen)
+                rhs_batches, cfg, rng_seed=seed + 1000 + plen)
 
     # final checkpoint under the conventional name for the retrieve CLI
     final = ws.path("checkpoints/final")

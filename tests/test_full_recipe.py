@@ -10,8 +10,9 @@ absolute retrieval floors per phase. It does NOT gate phase3 > phase2: on a
 24-doc/8-query toy the curriculum legitimately cannot show its effect (no
 beam-pruning pressure, a 2-layer toy teacher) and measured seeds regress.
 The curriculum-improvement claim is gated where it is statistically
-resolvable: tools/curriculum_proof.py (2.4k docs / 240+120 held-out
-queries / M=32, flat-ablation arm) via test_curriculum_proof_nightly."""
+resolvable: tools/curriculum_proof.py (2.4k docs / 960 train + 240
+held-out dev queries / M=32, flat-ablation arm, 3-seed phase-3
+replication) via test_curriculum_proof_nightly."""
 import json
 
 import numpy as np
@@ -201,6 +202,41 @@ def test_prefix_eval_path(corpus):
                             "phase3", "phase3_prefix4"}
     assert metrics["phase3_prefix4"]["recall_10"] >= 0.99
     assert (tmp / "ws" / "trie_prefix4.npz").exists()
+
+
+def _dev(full, p4=0.0, p8=0.0):
+    mk = lambda v: {"mrr_10": v, "recall_10": v, "recall_100": v}
+    return {"full": mk(full), "prefix4": mk(p4), "prefix8": mk(p8)}
+
+
+def test_compute_gate():
+    """The proof's pass/fail decision (tools/curriculum_proof.py):
+    cond1 = mean curriculum full MRR beats phase2 AND (>=2 seeds) the
+    margin exceeds the seed spread; cond2 = mean curriculum p4+p8 >= mean
+    flat p4+p8, skipped without a flat arm."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from curriculum_proof import compute_gate
+
+    p2 = _dev(0.27, 0.34, 0.32)
+    # PASS: margin +0.04 > spread 0.02, prefixes tie flat
+    g = compute_gate(p2, [_dev(0.30, 0.35, 0.33), _dev(0.32, 0.35, 0.33)],
+                     [_dev(0.26, 0.35, 0.33), _dev(0.26, 0.35, 0.33)])
+    assert g["pass"] and g["cond1_margin_exceeds_spread"]
+    assert g["margin"] == pytest.approx(0.04)
+    assert g["seed_spread"] == pytest.approx(0.02)
+    # FAIL: mean below phase2 (the r5 no-rehearsal measurement shape)
+    g = compute_gate(p2, [_dev(0.258), _dev(0.238), _dev(0.236)], [])
+    assert not g["pass"] and not g["cond1_margin_positive"]
+    # FAIL: positive margin but inside the seed spread
+    g = compute_gate(p2, [_dev(0.26, 0.4, 0.4), _dev(0.30, 0.4, 0.4)], [])
+    assert g["cond1_margin_positive"] and not g["pass"]
+    # single seed: the spread condition is vacuous, margin alone decides
+    g = compute_gate(p2, [_dev(0.28, 0.4, 0.4)], [])
+    assert g["pass"] and g["cond1_margin_exceeds_spread"]
+    # cond2: curriculum prefixes must not lose to flat
+    g = compute_gate(p2, [_dev(0.30, 0.30, 0.30)], [_dev(0.26, 0.35, 0.33)])
+    assert not g["pass"] and not g["cond2_prefix_beats_flat"]
 
 
 @pytest.mark.nightly
