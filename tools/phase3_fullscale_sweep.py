@@ -42,8 +42,11 @@ SIZES = {
                dict(M=16, K=64, phase1_epochs=4, teacher_epochs=60,
                     s2s_epochs=60, mm_epochs=6, phase3_epochs=6,
                     num_beams=5, topk=10, batch_size=32)),
+    # n_dev_q 240 since r5 (matches tools/curriculum_proof.py full size —
+    # the corpus rng stream is call-order stable so docs/train queries are
+    # identical to the r4 sweep and the first 120 dev queries are its set)
     "full": (dict(n_clusters=120, docs_per_cluster=20, n_train_q=960,
-                  n_dev_q=120),
+                  n_dev_q=240),
              dict(M=32, K=256, phase1_epochs=4, teacher_epochs=60,
                   s2s_epochs=60, mm_epochs=6, phase3_epochs=2,
                   num_beams=5, topk=10, batch_size=32,
@@ -56,6 +59,24 @@ VARIANTS = {
     "gentle": dict(phase3_seq2seq_rehearsal=True, phase3_rehearsal_lr=1e-4),
     # the r4 FAIL configuration, for reference only
     "rhs_1e3": dict(phase3_seq2seq_rehearsal=True, phase3_rehearsal_lr=1e-3),
+    # --- r5 arms (diagnosis: tools/phase3_probe.py + /tmp/diag_dev —
+    # conditional on beam survival the rank stages IMPROVE dev ranking
+    # (0.611 -> 0.631); the whole regression is SURVIVAL loss (recall
+    # 0.475 -> 0.421) concentrated on docs that appear in rank training
+    # only as negatives, i.e. every dev positive by construction) ---
+    # fixed anti-forgetting dose: the medium rung's proven ~60 steps at
+    # lr 1e-3 per stage, decoupled from corpus size
+    "cap60": dict(phase3_seq2seq_rehearsal=True, phase3_rehearsal_lr=1e-3,
+                  phase3_rehearsal_max_steps=60),
+    # joint with the seq2seq term weighted to the MEASURED grad-norm
+    # ratio: at the eroded endpoint ||g_rank||/||g_s2s|| = 1210
+    # (phase3_probe --ckpt phase3_mnt_32), so w=300 makes the restoring
+    # spring ~25% of the rank gradient when eroded and ~5% when fit
+    # (ratio 5594 at phase2); w=1000 is the stiff-spring arm
+    "jw300": dict(phase3_seq2seq_rehearsal=False, phase3_joint_seq2seq=True,
+                  phase3_joint_weight=300.0),
+    "jw1000": dict(phase3_seq2seq_rehearsal=False, phase3_joint_seq2seq=True,
+                   phase3_joint_weight=1000.0),
 }
 
 
@@ -66,6 +87,14 @@ def main():
     ap.add_argument("--variants", default="no_rhs,joint,gentle")
     ap.add_argument("--size", choices=list(SIZES), default="full")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--clone-from", default=None,
+                    help="existing finished workspace to clone phase 1+2 "
+                         "from for EVERY variant (e.g. the gated proof's "
+                         "ws_curriculum) instead of training the first "
+                         "variant from scratch")
+    ap.add_argument("--tag", default="",
+                    help="suffix for the artifact name, so a re-sweep at "
+                         "new settings doesn't overwrite a committed one")
     args = ap.parse_args()
 
     # default to CPU; RIPOR_PROOF_TPU=1 keeps the chip backend (same contract
@@ -108,12 +137,13 @@ def main():
 
     art = Path("/root/repo/artifacts")
     art.mkdir(exist_ok=True)
-    out_path = art / f"phase3_fullscale_sweep_{args.size}.json"
+    tag = f"_{args.tag}" if args.tag else ""
+    out_path = art / f"phase3_fullscale_sweep_{args.size}{tag}.json"
     results = (json.loads(out_path.read_text()) if out_path.exists()
                else {"corpus": sizes, "variants": {}})
 
     variants = [v.strip() for v in args.variants.split(",") if v.strip()]
-    ws_first = None
+    ws_first = args.clone_from
     for vi, name in enumerate(variants):
         kw = VARIANTS[name]
         ws = str(base / f"ws_v_{name}")
