@@ -74,6 +74,18 @@ from ripor_tpu.pipeline.recipe import (
 from ripor_tpu.train import TrainConfig
 
 
+class _QueryOverlay:
+    """``queries[qid]`` view that resolves pseudo-query ids from a dict and
+    everything else from the base Collection (phase3_pseudo_rank)."""
+
+    def __init__(self, base, extra: Dict[str, str]):
+        self._base, self._extra = base, extra
+
+    def __getitem__(self, qid: str) -> str:
+        t = self._extra.get(str(qid))
+        return t if t is not None else self._base[qid]
+
+
 def _epochs_steps(n_examples: int, batch_size: int, epochs: int) -> int:
     return max(1, epochs * max(1, n_examples // batch_size))
 
@@ -336,7 +348,8 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                     phase3_rehearsal_epochs: int = 1,
                     phase3_joint_seq2seq: bool = False,
                     phase3_joint_weight: float = 1.0,
-                    phase3_rehearsal_max_steps: int = 0
+                    phase3_rehearsal_max_steps: int = 0,
+                    phase3_pseudo_rank: int = 0
                     ) -> Dict[str, Dict[str, float]]:
     """Run phases 1..3 on a corpus slice; returns per-phase retrieval
     metrics {"phase2": {...}, "phase3": {...}} so callers can assert the
@@ -440,7 +453,19 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
     anti-forgetting dose in optimizer steps stays FIXED as the corpus
     grows instead of scaling with the rehearsal trainset (at 2400 docs a
     full epoch is ~255 steps at 10x the rank lr — measured to wipe the
-    rank stage's gains; the medium rung's proven dose is ~60 steps)."""
+    rank stage's gains; the medium rung's proven dose is ~60 steps).
+
+    ``phase3_pseudo_rank`` > 0 adds up to that many pseudo-queries PER DOC
+    (from the phase-2 seq2seq trainset, already teacher-filtered) as extra
+    rank-training queries whose positive is their own doc. Mechanism
+    (measured, /root/repo/.workdir diag r5): docs that appear in rank
+    training only as negatives lose beam survival (held-out recall@10
+    0.475 -> 0.421 over the curriculum) while ranking CONDITIONAL on
+    survival improves — pseudo-query positives give every doc an upward
+    rank-loss gradient at the rank lr, inside the same loss, no separate
+    rehearsal pass. Reference analogue: the pseudo-query flywheel
+    (aq_preprocess/create_pseudo_query_to_docid_map.py) feeding the rank
+    stage's query pool instead of only the seq2seq stage."""
     ws = Workspace(workspace)
     docs = Collection(docs_dir)
     queries = Collection(queries_dir)
@@ -691,13 +716,39 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
         if pos or cand:
             qid_to_docids[str(qid)] = pos + cand
 
+    # pseudo-queries as rank-training positives (see docstring): every doc
+    # gets an upward rank gradient from its own (teacher-filtered) pseudo-
+    # queries; beam mining inside datagen_round supplies their negatives
+    q3, score3 = queries, teacher_pair_scores
+    if phase3_pseudo_rank > 0:
+        from ripor_tpu.pipeline.flywheel import read_jsonl
+        pq_texts: Dict[str, str] = {}
+        per_doc_n: Dict[str, int] = {}
+        train_texts = set(queries.texts)
+        for i, r in enumerate(read_jsonl(str(s2s_path))):
+            d = str(r["docid"])
+            if r["query"] in train_texts:
+                continue  # train-query rows ride along in the s2s set
+                          # (_pseudo_query_trainset) and are already in
+                          # qid_to_docids under their real qid
+            if per_doc_n.get(d, 0) >= phase3_pseudo_rank:
+                continue
+            per_doc_n[d] = per_doc_n.get(d, 0) + 1
+            pqid = f"pq{i}"
+            pq_texts[pqid] = r["query"]
+            qid_to_docids[pqid] = [d]
+        q3 = _QueryOverlay(queries, pq_texts)
+        score3 = lambda pairs: teacher_pair_scores(pairs, query_texts=q3)
+        ws.log(f"phase3 pseudo-rank: +{len(pq_texts)} pseudo-queries "
+               f"covering {len(per_doc_n)}/{len(docids)} docs")
+
     for plen in curriculum:
         ds_path = ws.path(f"lng_knp_qid_smtids_scores_{plen}.train.json")
         if not ds_path.exists():
             ws.log(f"phase3 datagen at prefix {plen}")
             merged, rankdata, pair_scores = datagen_round(
-                cfg, params, tok, queries, qid_to_docids, codes, docids,
-                teacher_pair_scores, prefix_len=plen,
+                cfg, params, tok, q3, qid_to_docids, codes, docids,
+                score3, prefix_len=plen,
                 num_beams=datagen_num_beams or min(num_beams, 10),
                 batch_size=4, decay=decay, return_intermediates=True)
             if phase3_sym_neg:
@@ -732,7 +783,7 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                 plens = (tuple(p for p in (4, 8, 16) if p < plen)
                          if (phase3_prefix_heads and plen >= 8) else ())
                 stats = calibrate_trainset(
-                    str(ds_path), str(cal), model, params, tok, queries,
+                    str(ds_path), str(cal), model, params, tok, q3,
                     smtid_as_docid=True, prefix_lengths=plens,
                     alphas_out=str(ws.path(f"calibration_phase3_{plen}.json")),
                     seed=seed + plen)
@@ -750,7 +801,7 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
             # margin only (no rank_4/8/16 heads)
             loss_type = "t5seq_aq_encoder_margin_mse"
             prefix = ()
-        coll = MarginMSECollator(tok, queries, None, max_length=64,
+        coll = MarginMSECollator(tok, q3, None, max_length=64,
                                  smtid_as_docid=True, prefix_lengths=prefix)
         bz = min(batch_size, len(examples))
         if phase3_joint_seq2seq:

@@ -77,6 +77,17 @@ VARIANTS = {
                   phase3_joint_weight=300.0),
     "jw1000": dict(phase3_seq2seq_rehearsal=False, phase3_joint_seq2seq=True,
                    phase3_joint_weight=1000.0),
+    # pseudo-queries as rank-training POSITIVES (full_recipe.py
+    # phase3_pseudo_rank): the survival-loss diagnosis says dev positives
+    # erode because rank training gives them only negative gradient —
+    # one teacher-filtered pseudo-query per doc puts every doc on the
+    # positive side of the margin loss at the rank lr, inside the same
+    # stage. Reference analogue: the pseudo-query flywheel feeding the
+    # rank pool (aq_preprocess/create_pseudo_query_to_docid_map.py).
+    "pq1": dict(phase3_seq2seq_rehearsal=False, phase3_pseudo_rank=1),
+    "jw1000_pq1": dict(phase3_seq2seq_rehearsal=False,
+                       phase3_joint_seq2seq=True,
+                       phase3_joint_weight=1000.0, phase3_pseudo_rank=1),
 }
 
 
