@@ -349,7 +349,8 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                     phase3_joint_seq2seq: bool = False,
                     phase3_joint_weight: float = 1.0,
                     phase3_rehearsal_max_steps: int = 0,
-                    phase3_pseudo_rank: int = 0
+                    phase3_pseudo_rank: int = 0,
+                    phase3_l2sp: float = 0.0
                     ) -> Dict[str, Dict[str, float]]:
     """Run phases 1..3 on a corpus slice; returns per-phase retrieval
     metrics {"phase2": {...}, "phase3": {...}} so callers can assert the
@@ -465,7 +466,20 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
     rank-loss gradient at the rank lr, inside the same loss, no separate
     rehearsal pass. Reference analogue: the pseudo-query flywheel
     (aq_preprocess/create_pseudo_query_to_docid_map.py) feeding the rank
-    stage's query pool instead of only the seq2seq stage."""
+    stage's query pool instead of only the seq2seq stage.
+    MEASURED DEAD END at full proof scale (dev MRR 0.077 vs phase2 0.273,
+    artifacts/phase3_fullscale_sweep_full_r5.json pq1): cluster-generic
+    pseudo-queries are ambiguous to the teacher — in 78% of generated rows
+    the top-scored candidate is a same-cluster NEIGHBOUR, so MarginMSE
+    pushes each doc below its cluster-mates at 3x the rank dose. Kept as a
+    knob for corpora with doc-specific pseudo-queries.
+
+    ``phase3_l2sp`` > 0 enables the decoupled L2-SP spring toward the
+    phase-2 entry params during the rank (mnt) stages (trainer.py
+    l2sp_rate — the per-step pull fraction). The mechanism-matched
+    anti-forgetting lever after pq failed: it damps exactly the unopposed
+    doc->smtid drift of never-positive docs without a separate rehearsal
+    pass or extra data."""
     ws = Workspace(workspace)
     docs = Collection(docs_dir)
     queries = Collection(queries_dir)
@@ -742,6 +756,15 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
         ws.log(f"phase3 pseudo-rank: +{len(pq_texts)} pseudo-queries "
                f"covering {len(per_doc_n)}/{len(docids)} docs")
 
+    # L2-SP anchor = the phase-2 entry state: the rank stages' unopposed
+    # drift on never-positive docs is the measured dev regression
+    # (artifacts/phase3_dynamics_r5.md §2); a decoupled spring toward the
+    # phase-2 params damps that drift without blocking data-supported
+    # ranking movement (trainer.py l2sp_rate). Applied to the rank (mnt)
+    # stages only — a rehearsal stage, when enabled, IS the restoring
+    # mechanism and must stay free to move.
+    anchor3 = params if phase3_l2sp > 0 else None
+
     for plen in curriculum:
         ds_path = ws.path(f"lng_knp_qid_smtids_scores_{plen}.train.json")
         if not ds_path.exists():
@@ -820,6 +843,7 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
         tcfg = TrainConfig(loss_type=loss_type, learning_rate=phase3_lr,
                            total_steps=_epochs_steps(len(examples), bz,
                                                      phase3_epochs),
+                           l2sp_rate=phase3_l2sp,
                            loss_weights=(
                                {"seq2seq": phase3_joint_weight}
                                if (phase3_joint_seq2seq
@@ -835,7 +859,8 @@ def run_full_recipe(workspace: str, docs_dir: str, queries_dir: str,
                 min(batch_size, len(s2s)), seed=seed + 500 + plen)
         params = stage_train(
             ws, f"phase3_mnt_{plen}", model, params, tcfg,
-            rank_batches, cfg, rng_seed=seed + plen)
+            rank_batches, cfg, rng_seed=seed + plen,
+            anchor_params=anchor3)
         if phase3_seq2seq_rehearsal:
             # one seq2seq pass over the phase-2 trainset (pseudo-queries
             # for ALL docs + train queries) after each rank stage: rank

@@ -163,13 +163,15 @@ def stage_build_trie(ws: Workspace, codes: np.ndarray, K: int) -> DocIdTrie:
 
 def stage_train(ws: Workspace, phase_name: str, model: RiporModel,
                 params, tcfg: TrainConfig, batches: Iterable[Dict],
-                cfg: RiporConfig, rng_seed: int = 0, mesh=None):
+                cfg: RiporConfig, rng_seed: int = 0, mesh=None,
+                anchor_params=None):
     ckpt_dir = ws.path(f"checkpoints/{phase_name}")
     if (ckpt_dir / "params").exists():
         ws.log(f"{phase_name}: restoring existing checkpoint")
         return load_params(ckpt_dir, like=params)
     ws.log(f"{phase_name}: training")
     trainer = Trainer(model, tcfg, params, mesh=mesh,
+                      anchor_params=anchor_params,
                       log_fn=lambda m, s: ws.log(f"{phase_name} step {s}: "
                                                  f"loss={m['loss']:.4f}"))
     state, _ = trainer.run(batches, jax.random.PRNGKey(rng_seed))

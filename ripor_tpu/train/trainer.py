@@ -38,6 +38,19 @@ class TrainConfig:
     # ZeRO-style: shard Adam mu/nu over the mesh 'data' axis (the reference
     # only inherits dead fairscale ShardedDDP branches, tasks/trainer.py:34)
     shard_opt_state: bool = False
+    # Decoupled L2-SP anchor (continual-learning regularizer; no reference
+    # analogue — the reference's MS MARCO phase 3 never re-ranks a trainset
+    # small enough to erode the doc->smtid mapping, but at slice scale the
+    # rank stages measurably do; artifacts/phase3_dynamics_r5.md §2). Each
+    # step, AFTER the optimizer update, params relax toward the anchor
+    # checkpoint: p <- p - r*(p - anchor) with r = l2sp_rate. Decoupled
+    # (applied outside the loss) because a coupled L2 penalty is normalized
+    # away by Adam's per-coordinate rescaling. Random-walk drift then
+    # reaches a stationary scale ~ lr*sqrt(1/(2r)) while a coordinate with
+    # persistent data gradient can still travel ~ lr/r — the spring damps
+    # unopposed drift (forgetting) much harder than consistent learning
+    # signal. Requires anchor_params at Trainer construction.
+    l2sp_rate: float = 0.0
 
 
 class TrainState(struct.PyTreeNode):
@@ -65,7 +78,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def make_train_step(model, cfg: TrainConfig,
-                    tx: optax.GradientTransformation) -> Callable:
+                    tx: optax.GradientTransformation,
+                    anchor_params=None) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
     Micro-batching for gradient accumulation happens inside the step via
@@ -117,6 +131,14 @@ def make_train_step(model, cfg: TrainConfig,
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
+        if anchor_params is not None and cfg.l2sp_rate > 0:
+            r = cfg.l2sp_rate
+            params = jax.tree.map(
+                lambda p, a: (p - r * (p - a.astype(p.dtype))),
+                params, anchor_params)
+            metrics["anchor_drift"] = optax.global_norm(
+                jax.tree.map(lambda p, a: p - a.astype(p.dtype),
+                             params, anchor_params))
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), metrics
 
@@ -166,7 +188,7 @@ class Trainer:
                  mesh: Optional[Mesh] = None, log_fn=None,
                  checkpoint_dir: Optional[str] = None,
                  save_steps: int = 15_000, max_to_keep: int = 5,
-                 eval_fn=None, eval_steps: int = 0):
+                 eval_fn=None, eval_steps: int = 0, anchor_params=None):
         self.model = model
         self.cfg = cfg
         self.tx = make_optimizer(cfg)
@@ -182,7 +204,10 @@ class Trainer:
             opt_specs = opt_state_pspec_tree(self.state.opt_state, params)
             self.state = self.state.replace(
                 opt_state=shard_opt_state(self.state.opt_state, params, mesh))
-        step = make_train_step(model, cfg, self.tx)
+        if cfg.l2sp_rate > 0 and anchor_params is None:
+            raise ValueError("l2sp_rate > 0 requires anchor_params")
+        step = make_train_step(model, cfg, self.tx,
+                               anchor_params=anchor_params)
         self._step = (jit_train_step(step, mesh, params, opt_specs)
                       if mesh is not None
                       else jax.jit(step, donate_argnums=(0,)))

@@ -180,6 +180,52 @@ def test_train_loss_decreases_seq2seq():
     assert last < first * 0.5, (first, last)
 
 
+def test_l2sp_anchor_damps_drift():
+    """Decoupled L2-SP spring (trainer.py l2sp_rate): rate 0 leaves the
+    update untouched; a strong spring keeps params near the anchor while
+    training moves the unsprung run measurably further (the phase-3
+    anti-forgetting lever, full_recipe.py phase3_l2sp)."""
+    cfg, model, params, ids, mask, codes, rng = setup()
+    batch = {"query_ids": ids, "query_mask": mask, "codes": codes}
+    anchor = jax.tree.map(jnp.copy, params)
+
+    def drift_after(l2sp_rate, n=25):
+        tcfg = TrainConfig(loss_type="t5seq_aq_encoder_seq2seq",
+                           learning_rate=3e-3, total_steps=n,
+                           l2sp_rate=l2sp_rate)
+        tx = make_optimizer(tcfg)
+        step = jax.jit(make_train_step(model, tcfg, tx,
+                                       anchor_params=anchor))
+        state = TrainState.create(params, tx)
+        key = jax.random.PRNGKey(0)
+        for _ in range(n):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+        import optax
+        d = optax.global_norm(jax.tree.map(lambda p, a: p - a,
+                                           state.params, anchor))
+        return float(d), metrics
+
+    free, m_free = drift_after(0.0)
+    sprung, m_sprung = drift_after(0.2)
+    assert sprung < 0.5 * free, (sprung, free)
+    assert "anchor_drift" not in m_free      # rate 0: spring fully off
+    np.testing.assert_allclose(float(m_sprung["anchor_drift"]), sprung,
+                               rtol=1e-4)
+
+    # rate 0 with an anchor present must be bit-identical to no anchor
+    tcfg = TrainConfig(loss_type="t5seq_aq_encoder_seq2seq",
+                       learning_rate=3e-3, total_steps=5)
+    tx = make_optimizer(tcfg)
+    key = jax.random.PRNGKey(2)
+    s_a = jax.jit(make_train_step(model, tcfg, tx, anchor_params=anchor))(
+        TrainState.create(params, tx), batch, key)[0]
+    s_b = jax.jit(make_train_step(model, tcfg, tx))(
+        TrainState.create(params, tx), batch, key)[0]
+    for x, y in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_grad_accum_matches_full_batch():
     cfg, model, params, ids, mask, codes, rng = setup(B=8)
     batch = {"query_ids": ids, "query_mask": mask, "codes": codes}

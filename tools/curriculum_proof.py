@@ -224,10 +224,25 @@ def main():
     ap.add_argument("--joint-seq2seq", action="store_true",
                     help="use the reference's declared joint rank+seq2seq "
                          "loss in phase 3 instead of alternating rehearsal")
+    ap.add_argument("--joint-weight", type=float, default=1.0,
+                    help="seq2seq term weight in the joint loss (grad-norm "
+                         "matched values measured by tools/phase3_probe.py)")
+    ap.add_argument("--pseudo-rank", type=int, default=None,
+                    help="pseudo-queries per doc added to the phase-3 rank "
+                         "pool as own-doc positives (full_recipe.py "
+                         "phase3_pseudo_rank); default: size-dependent")
     ap.add_argument("--extra-seeds", default=None,
                     help="comma list of extra phase-3-only seeds run for "
                          "BOTH arms (phase 1+2 cloned); default '1,2' at "
                          "full size, '' otherwise")
+    ap.add_argument("--clone-from", default=None,
+                    help="existing finished workspace whose phase 1+2 "
+                         "checkpoints seed ws_curriculum (clone_through_"
+                         "phase2, same semantics as the sweep driver) — "
+                         "the corpus build is rng-deterministic per seed, "
+                         "so a re-run with a different PHASE-3 policy "
+                         "shares phase 1+2 bit-for-bit instead of "
+                         "re-training them (~2h of chip time)")
     args = ap.parse_args()
     if args.small:
         args.size = "small"
@@ -345,6 +360,8 @@ def main():
                   phase3_rehearsal_lr=args.rehearsal_lr,
                   phase3_rehearsal_epochs=args.rehearsal_epochs,
                   phase3_joint_seq2seq=args.joint_seq2seq,
+                  phase3_joint_weight=args.joint_weight,
+                  phase3_pseudo_rank=args.pseudo_rank or 0,
                   **run_kw)
 
     t0 = time.time()
@@ -355,8 +372,11 @@ def main():
                "rehearsal_policy": {
                    "no_rehearsal": args.no_rehearsal,
                    "joint_seq2seq": args.joint_seq2seq,
+                   "joint_weight": args.joint_weight,
+                   "pseudo_rank": args.pseudo_rank or 0,
                    "rehearsal_lr": args.rehearsal_lr,
                    "rehearsal_epochs": args.rehearsal_epochs},
+               "clone_from": args.clone_from,
                "seeds_run": [args.seed]}
 
     def _write():
@@ -364,6 +384,8 @@ def main():
         out_path.write_text(json.dumps(results, indent=1))
 
     ws_cur = str(base / "ws_curriculum")
+    if args.clone_from and not Path(ws_cur).exists():
+        clone_through_phase2(args.clone_from, ws_cur)
     m_cur = run_full_recipe(workspace=ws_cur, **common)
     results["train_metrics_curriculum"] = m_cur
     print(f"curriculum arm recipe done in {time.time()-t0:.0f}s", flush=True)

@@ -88,6 +88,29 @@ VARIANTS = {
     "jw1000_pq1": dict(phase3_seq2seq_rehearsal=False,
                        phase3_joint_seq2seq=True,
                        phase3_joint_weight=1000.0, phase3_pseudo_rank=1),
+    # --- r5 round 3 arms ---
+    # pq1 MEASURED DEAD END (0.077 full): cluster-generic pseudo-queries
+    # are teacher-ambiguous — 78% of pq rows score a same-cluster
+    # NEIGHBOUR above the own doc, so MarginMSE actively pushes each doc
+    # below its cluster-mates at 3x dose (full_recipe.py docstring);
+    # jw1000_pq1 was killed mid-run (same poisoned trainset).
+    # L2-SP spring (trainer.py l2sp_rate, full_recipe.py phase3_l2sp):
+    # decoupled per-step pull r toward the phase-2 params during the rank
+    # stages. Unopposed random-walk drift reaches stationary scale
+    # ~lr*sqrt(1/2r); consistent learning signal can still travel ~lr/r.
+    # At phase3_lr 1e-4 / ~60 steps/stage: r=3e-3 is a soft spring
+    # (signal cap 0.033 >> typical movement), r=1e-2 medium (cap 0.01,
+    # also relaxes ~45% of inherited drift per stage), r=3e-2 stiff
+    # (cap 3.3e-3 — near-frozen mapping, tests whether ANY rank-stage
+    # drift is needed for the conditional-ranking gains).
+    "l2sp3e3": dict(phase3_seq2seq_rehearsal=False, phase3_l2sp=3e-3),
+    "l2sp1e2": dict(phase3_seq2seq_rehearsal=False, phase3_l2sp=1e-2),
+    "l2sp3e2": dict(phase3_seq2seq_rehearsal=False, phase3_l2sp=3e-2),
+    # one more point on the monotone jw ladder (300 -> 1000 gained
+    # +0.012 full / +0.013 recall; extrapolation says w must rise until
+    # the seq2seq term matches the rank grad when FIT, ratio 5594)
+    "jw3000": dict(phase3_seq2seq_rehearsal=False, phase3_joint_seq2seq=True,
+                   phase3_joint_weight=3000.0),
 }
 
 
