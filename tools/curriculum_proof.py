@@ -231,6 +231,11 @@ def main():
                     help="pseudo-queries per doc added to the phase-3 rank "
                          "pool as own-doc positives (full_recipe.py "
                          "phase3_pseudo_rank); default: size-dependent")
+    ap.add_argument("--l2sp", type=float, default=0.0,
+                    help="decoupled L2-SP spring rate toward the phase-2 "
+                         "params during the rank stages (full_recipe.py "
+                         "phase3_l2sp; applies to BOTH arms so the flat "
+                         "ablation stays matched)")
     ap.add_argument("--extra-seeds", default=None,
                     help="comma list of extra phase-3-only seeds run for "
                          "BOTH arms (phase 1+2 cloned); default '1,2' at "
@@ -362,6 +367,7 @@ def main():
                   phase3_joint_seq2seq=args.joint_seq2seq,
                   phase3_joint_weight=args.joint_weight,
                   phase3_pseudo_rank=args.pseudo_rank or 0,
+                  phase3_l2sp=args.l2sp,
                   **run_kw)
 
     t0 = time.time()
@@ -374,6 +380,7 @@ def main():
                    "joint_seq2seq": args.joint_seq2seq,
                    "joint_weight": args.joint_weight,
                    "pseudo_rank": args.pseudo_rank or 0,
+                   "l2sp": args.l2sp,
                    "rehearsal_lr": args.rehearsal_lr,
                    "rehearsal_epochs": args.rehearsal_epochs},
                "clone_from": args.clone_from,
