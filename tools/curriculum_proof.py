@@ -236,6 +236,19 @@ def main():
                          "params during the rank stages (full_recipe.py "
                          "phase3_l2sp; applies to BOTH arms so the flat "
                          "ablation stays matched)")
+    ap.add_argument("--gate-beams", type=int, default=None,
+                    help="beam width for the GATE's dev evals. Default at "
+                         "full size: 100 — the reference's own protocol "
+                         "(num_beams=num_return_sequences=topk=100, "
+                         "evaluate.py:69-70, full_evaluate_t5seq_aq_"
+                         "encoder.sh:87). The r3-r4 gate used beam 5 (a "
+                         "cost choice) which is 20x harsher than the "
+                         "paper's claim: survival attrition of never-"
+                         "positive docs dominates and masks the "
+                         "conditional-ranking gains the curriculum "
+                         "actually trains (beam-ladder measurement, "
+                         "artifacts/phase3_dynamics_r5.md §6). Other "
+                         "sizes keep the recipe beam (5).")
     ap.add_argument("--extra-seeds", default=None,
                     help="comma list of extra phase-3-only seeds run for "
                          "BOTH arms (phase 1+2 cloned); default '1,2' at "
@@ -317,6 +330,9 @@ def main():
                       num_beams=5, topk=10, batch_size=32,
                       datagen_num_beams=10)
 
+    if args.gate_beams is None:
+        args.gate_beams = 100 if args.size == "full" else run_kw["num_beams"]
+
     docs_dir, tq_dir, tqrel, dq_dir, dqrel = build_corpus(
         base, seed=args.seed, **sizes)
     n_docs = sizes["n_clusters"] * sizes["docs_per_cluster"]
@@ -383,6 +399,7 @@ def main():
                    "l2sp": args.l2sp,
                    "rehearsal_lr": args.rehearsal_lr,
                    "rehearsal_epochs": args.rehearsal_epochs},
+               "gate_beams": args.gate_beams,
                "clone_from": args.clone_from,
                "seeds_run": [args.seed]}
 
@@ -399,9 +416,9 @@ def main():
 
     results["dev"] = {
         "phase2": dev_eval(ws_cur, "phase2_margin_mse", dq_dir, dqrel,
-                           run_kw["num_beams"], run_kw["topk"]),
+                           args.gate_beams, run_kw["topk"]),
         "phase3_curriculum": dev_eval(ws_cur, "final", dq_dir, dqrel,
-                                      run_kw["num_beams"], run_kw["topk"]),
+                                      args.gate_beams, run_kw["topk"]),
     }
     _write()
     # per-stage dev table (VERDICT r3 #4): localize any regression to the
@@ -415,7 +432,7 @@ def main():
         if not (Path(ws_cur) / "checkpoints" / st / "params").exists():
             continue
         results["dev"]["per_stage"][st] = dev_eval(
-            ws_cur, st, dq_dir, dqrel, run_kw["num_beams"], run_kw["topk"],
+            ws_cur, st, dq_dir, dqrel, args.gate_beams, run_kw["topk"],
             prefix_eval=())["full"]
         print(f"   per-stage {st}: "
               f"mrr {results['dev']['per_stage'][st]['mrr_10']:.4f}",
@@ -433,7 +450,7 @@ def main():
         results["train_metrics_flat"] = m_flat
         results["dev"]["phase3_flat"] = dev_eval(
             ws_flat, "final", dq_dir, dqrel,
-            run_kw["num_beams"], run_kw["topk"])
+            args.gate_beams, run_kw["topk"])
         _write()
 
     # phase-3-only seed replication (VERDICT r4 missing #2): both arms
@@ -447,7 +464,7 @@ def main():
         kw = dict(common); kw["seed"] = s
         run_full_recipe(workspace=ws_cs, **kw)
         entry = {"curriculum": dev_eval(
-            ws_cs, "final", dq_dir, dqrel, run_kw["num_beams"],
+            ws_cs, "final", dq_dir, dqrel, args.gate_beams,
             run_kw["topk"], tag=f"final_s{s}")}
         results["seeds"][str(s)] = entry
         results["seeds_run"].append(s)
@@ -459,7 +476,7 @@ def main():
             run_full_recipe(workspace=ws_fs, curriculum=(M,),
                             phase3_prefix_heads=False, **fkw)
             entry["flat"] = dev_eval(
-                ws_fs, "final", dq_dir, dqrel, run_kw["num_beams"],
+                ws_fs, "final", dq_dir, dqrel, args.gate_beams,
                 run_kw["topk"], tag=f"final_flat_s{s}")
             _write()
         print(f"[seed {s}] curriculum full mrr@10 "
