@@ -111,6 +111,17 @@ VARIANTS = {
     # the seq2seq term matches the rank grad when FIT, ratio 5594)
     "jw3000": dict(phase3_seq2seq_rehearsal=False, phase3_joint_seq2seq=True,
                    phase3_joint_weight=3000.0),
+    # --- r5 round 4: deep negative mining (reference-faithful) ---
+    # The reference mines its sub-smtid rankdata at top-1000
+    # (full_evaluate_t5seq_aq_encoder.sh:186-199, out_docid_from_sub_*_
+    # top1000); our datagen mined at beam 10 — under the beam-100 gate
+    # (the reference's eval protocol) the model never trains against the
+    # rank-10..100 competitors that crowd positives out of the top-10.
+    "dg100": dict(phase3_seq2seq_rehearsal=False, datagen_num_beams=100),
+    "jw1000_dg100": dict(phase3_seq2seq_rehearsal=False,
+                         phase3_joint_seq2seq=True,
+                         phase3_joint_weight=1000.0,
+                         datagen_num_beams=100),
 }
 
 
@@ -184,7 +195,10 @@ def main():
         if ws_first is not None:
             clone_through_phase2(ws_first, ws)
         t0 = time.time()
-        m = run_full_recipe(workspace=ws, **common, **kw)
+        # dict-merge (not f(**common, **kw)): variants may OVERRIDE common
+        # keys (e.g. datagen_num_beams in the dg arms) — duplicate kwargs
+        # would raise
+        m = run_full_recipe(workspace=ws, **{**common, **kw})
         if ws_first is None:
             ws_first = ws
         print(f"[{name}] recipe done in {time.time()-t0:.0f}s", flush=True)
