@@ -122,6 +122,15 @@ VARIANTS = {
                          phase3_joint_seq2seq=True,
                          phase3_joint_weight=1000.0,
                          datagen_num_beams=100),
+    # jw ladder extension (b100/480q gate: jw3000 is the first arm ABOVE
+    # phase2, +0.0018, and the ladder is still monotone 300->1000->3000)
+    "jw10000": dict(phase3_seq2seq_rehearsal=False,
+                    phase3_joint_seq2seq=True,
+                    phase3_joint_weight=10000.0),
+    "jw3000_dg100": dict(phase3_seq2seq_rehearsal=False,
+                         phase3_joint_seq2seq=True,
+                         phase3_joint_weight=3000.0,
+                         datagen_num_beams=100),
 }
 
 
