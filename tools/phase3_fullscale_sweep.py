@@ -131,6 +131,12 @@ VARIANTS = {
                          phase3_joint_seq2seq=True,
                          phase3_joint_weight=3000.0,
                          datagen_num_beams=100),
+    # dose-up with the anchor in place (jw1000's per-stage trend RISES
+    # 0.2712 -> 0.2767; with the CE anchor holding the mapping, more rank
+    # epochs may extract more conditional-ranking gain)
+    "jw3000_e4": dict(phase3_seq2seq_rehearsal=False,
+                      phase3_joint_seq2seq=True,
+                      phase3_joint_weight=3000.0, phase3_epochs=4),
 }
 
 
