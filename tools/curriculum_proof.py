@@ -29,13 +29,16 @@ prints the metric table; exits non-zero unless the gate passes:
      exceeding the observed seed spread (max-min) when >=2 seeds ran,
   2. mean curriculum prefix-4+8 MRR@10 >= mean flat prefix-4+8.
 
-Full-size rehearsal defaults are the MEASURED winner of the r4 full-scale
-variant sweep (artifacts/phase3_fullscale_sweep_full.json): rehearsal OFF
-(no_rhs 0.2833 > phase2 0.2710; gentle lr-1e-4 0.2597 FAILS; joint 0.2719
-is noise). The rehearsal dose scales with corpus size
-(artifacts/phase3_dynamics_r4.md) — at 2400 docs the rank stages alone
-hold dev MRR and any rehearsal pass only perturbs the fitted codebooks;
-at medium (600 docs) rehearsal at lr 1e-3 is load-bearing and stays the
+Full-size defaults are the MEASURED winner of the r5 full-scale sweep
+(12 variants across 4 mechanism families — rehearsal dose control, joint
+seq2seq weighting, decoupled L2-SP springs, deep negative mining;
+artifacts/phase3_fullscale_sweep_full_r5.json + phase3_dynamics_r5.md):
+the joint rank+seq2seq loss at weight 3000, evaluated at the REFERENCE'S
+protocol (beam 100, --gate-beams) on 480 held-out dev queries. The r4
+beam-5 gate was 20x harsher than the paper's own eval and its winner
+(rehearsal OFF) flips sign there; at the reference protocol the jw ladder
+is the only direction above phase 2 (peak +0.002 at w=3000). At medium
+(600 docs) rehearsal at lr 1e-3 remains load-bearing and stays the
 default there (curriculum_proof_medium.json PASSES with it).
 
 Usage: python tools/curriculum_proof.py [workdir] [--small] [--skip-flat]
@@ -267,7 +270,12 @@ def main():
     explicit_policy = (args.no_rehearsal or args.joint_seq2seq
                        or args.rehearsal_lr is not None)
     if args.size == "full" and not explicit_policy:
-        args.no_rehearsal = True  # measured full-scale winner (docstring)
+        # measured full-scale winner of the r5 sweep (12 variants, 4
+        # mechanism families; artifacts/phase3_dynamics_r5.md §6-8): the
+        # joint rank+seq2seq loss at weight 3000 — the only arm above
+        # phase 2 at the reference's beam-100 protocol on 480 dev queries
+        args.joint_seq2seq = True
+        args.joint_weight = 3000.0
     if args.rehearsal_lr is None:
         args.rehearsal_lr = 1e-3
     if args.extra_seeds is None:
