@@ -249,7 +249,7 @@ def test_curriculum_proof_nightly():
     rung is a chip-scale measurement whose committed artifact is asserted
     by test_fullscale_proof_artifact below — its cond1 (phase3 > phase2
     full-length) is zero-within-noise at slice scale for curriculum AND
-    flat arms alike (measured: artifacts/phase3_dynamics_r5.md §8), so a
+    flat arms alike (measured: artifacts/phase3_dynamics_r5.md §9), so a
     CI re-run at full size would assert a coin flip. Multi-hour on CPU —
     run with ``pytest -m nightly``."""
     import subprocess
@@ -272,7 +272,7 @@ def test_fullscale_proof_artifact():
     * cond1 (phase3 > phase2 full-length MRR) is recorded honestly: the
       margin is zero within seed noise at slice scale, for the curriculum
       AND the flat arm alike (the per-doc negative-dose concentration
-      artifact, artifacts/phase3_dynamics_r5.md §8)."""
+      artifact, artifacts/phase3_dynamics_r5.md §9)."""
     with open("/root/repo/artifacts/curriculum_proof.json") as f:
         art = json.load(f)
     assert art["gate_beams"] == 100          # reference protocol
