@@ -10,9 +10,11 @@ absolute retrieval floors per phase. It does NOT gate phase3 > phase2: on a
 24-doc/8-query toy the curriculum legitimately cannot show its effect (no
 beam-pruning pressure, a 2-layer toy teacher) and measured seeds regress.
 The curriculum-improvement claim is gated where it is statistically
-resolvable: tools/curriculum_proof.py (2.4k docs / 960 train + 240
-held-out dev queries / M=32, flat-ablation arm, 3-seed phase-3
-replication) via test_curriculum_proof_nightly."""
+resolvable: tools/curriculum_proof.py — the medium rung end-to-end via
+test_curriculum_proof_nightly, and the committed full-scale chip
+measurement (2.4k docs / 960 train + 480 held-out dev queries / M=32,
+matched flat arms, 3-seed phase-3 replication, the reference's beam-100
+eval protocol) via test_fullscale_proof_artifact."""
 import json
 
 import numpy as np
