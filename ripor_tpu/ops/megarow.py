@@ -512,9 +512,15 @@ def _seq_math_quant_mxu(qb, kvnew, bias_hist, bias_new, rows,
     ev = jnp.exp2(ef[:, :, H:2 * H])
 
     qb = qb.astype(jnp.bfloat16)
-    qhm = qb[:, :, None] * hm[None]                      # [C, F, H]
+    # NOTE Mosaic-on-hardware: the earlier [C,F]->[C,F,H] broadcast
+    # (qb[:, :, None] * hm) inserts a non-no-op MINOR dim on bf16, which
+    # Mosaic only supports for 32-bit types (interpret mode hid it; the
+    # chip compile failed). Contract k8⊙q against the 0/1 head mask
+    # instead — same products, no minor-dim insertion, one fewer [C,F,H]
+    # temporary.
+    kq = k8 * qb[:, None, :]                             # [C, Mc, F]
     s_hist = jax.lax.dot_general(
-        k8, qhm, (((2,), (1,)), ((0,), (0,))),
+        kq, hm, (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # [C, Mc, H]
     s_hist = s_hist * ek + bias_hist.astype(jnp.float32)[None]
 
