@@ -18,8 +18,8 @@ resolvable scale (VERDICT r2 missing #1):
                 both arms get ~equal phase-3 gradient steps,
 * per-phase dev metrics at full length AND prefix-truncated 4/8 retrieval
   (sub-smtid decode — the early-step-ranking claim),
-* statistical teeth (VERDICT r4 missing #2): 240 held-out dev queries at
-  full size (2x r4) and --extra-seeds phase-3-only replication of BOTH
+* statistical teeth (VERDICT r4 missing #2): 480 held-out dev queries at
+  full size (4x r4) and --extra-seeds phase-3-only replication of BOTH
   arms (phase 1+2 shared bit-for-bit via clone_through_phase2; the seed
   varies batch order / stage rngs, the real training-stochasticity axis).
 
@@ -233,7 +233,7 @@ def main():
     ap.add_argument("--pseudo-rank", type=int, default=None,
                     help="pseudo-queries per doc added to the phase-3 rank "
                          "pool as own-doc positives (full_recipe.py "
-                         "phase3_pseudo_rank); default: size-dependent")
+                         "phase3_pseudo_rank); measured dead end at slice scale — default 0")
     ap.add_argument("--l2sp", type=float, default=0.0,
                     help="decoupled L2-SP spring rate toward the phase-2 "
                          "params during the rank stages (full_recipe.py "
