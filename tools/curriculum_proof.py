@@ -208,11 +208,15 @@ def main():
     ap.add_argument("workdir", nargs="?", default="/tmp/curriculum_proof")
     ap.add_argument("--small", action="store_true",
                     help="alias for --size small")
-    ap.add_argument("--size", choices=["small", "medium", "full"],
+    ap.add_argument("--size", choices=["small", "medium", "full", "xl"],
                     default="full",
                     help="small = CI driver sanity (too tiny to train); "
                          "medium = hyperparameter calibration rung; "
-                         "full = the proof")
+                         "full = the proof; xl = 2x docs at the SAME "
+                         "query count (docs:queries 5:1) — the dose-"
+                         "dilution rung testing phase3_dynamics_r5.md "
+                         "§9's prediction that cond1 grows toward the "
+                         "reference's 17:1 MS MARCO regime")
     ap.add_argument("--skip-flat", action="store_true",
                     help="skip the flat ablation arm")
     ap.add_argument("--seed", type=int, default=0)
@@ -269,7 +273,7 @@ def main():
         args.size = "small"
     explicit_policy = (args.no_rehearsal or args.joint_seq2seq
                        or args.rehearsal_lr is not None)
-    if args.size == "full" and not explicit_policy:
+    if args.size in ("full", "xl") and not explicit_policy:
         # measured full-scale winner of the r5 sweep (12 variants, 4
         # mechanism families; artifacts/phase3_dynamics_r5.md §6-8): the
         # joint rank+seq2seq loss at weight 3000 — the only arm above
@@ -279,6 +283,8 @@ def main():
     if args.rehearsal_lr is None:
         args.rehearsal_lr = 1e-3
     if args.extra_seeds is None:
+        # xl: single-seed by default (phase 1+2 train from scratch at 2x
+        # docs — ~4h of chip; seeds can be added with --extra-seeds)
         args.extra_seeds = "1,2" if args.size == "full" else ""
     extra_seeds = [int(s) for s in args.extra_seeds.split(",") if s.strip()]
 
@@ -336,15 +342,16 @@ def main():
         # phase-1/2 checkpoints from earlier runs stay clone-valid.
         # Measured payoff: the no-rehearsal 3-seed spread shrinks 0.0218
         # (240 q, beam 5) -> 0.0073 (480 q, beam 100).
-        sizes = dict(n_clusters=120, docs_per_cluster=20, n_train_q=960,
-                     n_dev_q=480)
+        sizes = dict(n_clusters=120 if args.size == "full" else 240,
+                     docs_per_cluster=20, n_train_q=960, n_dev_q=480)
         run_kw = dict(M=32, K=256, phase1_epochs=4, teacher_epochs=60,
                       s2s_epochs=60, mm_epochs=6, phase3_epochs=2,
                       num_beams=5, topk=10, batch_size=32,
                       datagen_num_beams=10)
 
     if args.gate_beams is None:
-        args.gate_beams = 100 if args.size == "full" else run_kw["num_beams"]
+        args.gate_beams = (100 if args.size in ("full", "xl")
+                           else run_kw["num_beams"])
 
     docs_dir, tq_dir, tqrel, dq_dir, dqrel = build_corpus(
         base, seed=args.seed, **sizes)
@@ -372,7 +379,8 @@ def main():
     # artifacts/teacher_strength.json); the tiny CI corpus (60 docs / 24
     # train q) tops out near 0.52 with the same geometry — gating there
     # would fail every smoke run, so small is driver-sanity-only.
-    teacher_mrr_floor = {"small": 0.0, "medium": 0.78, "full": 0.78}
+    teacher_mrr_floor = {"small": 0.0, "medium": 0.78, "full": 0.78,
+                        "xl": 0.78}
     common = dict(docs_dir=docs_dir, queries_dir=tq_dir, qrel_path=tqrel,
                   vocab_size=8 * sizes["n_clusters"] + n_docs + 50,
                   tokenizer_kind="word", seed=args.seed,
