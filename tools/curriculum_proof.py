@@ -256,6 +256,16 @@ def main():
                          "actually trains (beam-ladder measurement, "
                          "artifacts/phase3_dynamics_r5.md §6). Other "
                          "sizes keep the recipe beam (5).")
+    ap.add_argument("--train-q", type=int, default=None,
+                    help="override the rung's train-query count (the "
+                         "per-cluster-coverage scale axis, dynamics §10; "
+                         "changes the corpus permutation split, so use a "
+                         "fresh workdir + --artifact-out)")
+    ap.add_argument("--artifact-out", default=None,
+                    help="artifact filename under artifacts/ (default: "
+                         "curriculum_proof[_SIZE].json) — set for probe "
+                         "runs so the committed gated artifacts aren't "
+                         "overwritten")
     ap.add_argument("--extra-seeds", default=None,
                     help="comma list of extra phase-3-only seeds run for "
                          "BOTH arms (phase 1+2 cloned); default '1,2' at "
@@ -353,6 +363,9 @@ def main():
         args.gate_beams = (100 if args.size in ("full", "xl")
                            else run_kw["num_beams"])
 
+    if args.train_q is not None:
+        sizes["n_train_q"] = args.train_q
+
     docs_dir, tq_dir, tqrel, dq_dir, dqrel = build_corpus(
         base, seed=args.seed, **sizes)
     n_docs = sizes["n_clusters"] * sizes["docs_per_cluster"]
@@ -409,8 +422,9 @@ def main():
 
     t0 = time.time()
     art = Path("/root/repo/artifacts"); art.mkdir(exist_ok=True)
-    out_path = art / ("curriculum_proof.json" if args.size == "full"
-                      else f"curriculum_proof_{args.size}.json")
+    out_path = art / (args.artifact_out or
+                      ("curriculum_proof.json" if args.size == "full"
+                       else f"curriculum_proof_{args.size}.json"))
     results = {"corpus": sizes,
                "rehearsal_policy": {
                    "no_rehearsal": args.no_rehearsal,
